@@ -1,0 +1,309 @@
+"""Robust weighted least squares + batched Gauss-Newton on TPU.
+
+Functional replacement for the reference's ``slam/common/optimization.py``:
+the ``_WLSScheme`` hierarchy (``:25-258``) becomes :func:`robust_weights`, and
+``GaussNewton.compute`` (``:306-354``) becomes :func:`gauss_newton` — a fully
+batched, jit-compatible solver with a masked ``lax.while_loop`` (convergence is
+tracked per batch element instead of python-level early exit) and a damped
+6×6 normal-equation solve instead of ``H.inverse()`` + det guard.
+
+Cost functions: point-to-plane and point-to-point residuals over **twist**
+(se(3)) parameters with analytic jacobians (replacing the euler-parameterized
+closures of ``PointToPlaneCost``/``PointToPointCost``, ref ``:358-570``).
+The twist parameterization is singularity-free and its jacobians are plain
+cross products — no trig chains — so XLA fuses the whole residual+jacobian
+build into a couple of elementwise kernels plus one batched matmul.
+
+Weighting semantics match the reference exactly
+(``_WLSScheme.weights``, ref ``:53-60``): ``w(r) = sqrt(C(r)) / clamp(|r|, eps)``
+so that the weighted residual ``w·r`` squared equals the robust cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pwclonet_pylidarslam_tpu.core import se3
+
+# ---------------------------------------------------------------------------
+# Robust schemes (ref optimization.py:25-258)
+# ---------------------------------------------------------------------------
+
+LS_SCHEMES = (
+    "least_square",
+    "huber",
+    "exp",
+    "neighborhood",
+    "geman_mcclure",
+    "square_geman_mcclure",
+    "cauchy",
+)
+
+
+def robust_cost(
+    residuals: jax.Array,
+    scheme: str = "least_square",
+    sigma: float = 0.5,
+    match_distances: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-residual robust cost ``C(r)`` (ref cost() of each scheme)."""
+    r2 = residuals * residuals
+    if scheme in ("least_square", "default"):
+        return r2
+    if scheme == "huber":
+        abs_r = jnp.abs(residuals)
+        return jnp.where(abs_r < sigma, r2, 2.0 * sigma * abs_r - sigma * sigma)
+    if scheme == "exp":
+        return r2 * jnp.exp(-r2 / (sigma * sigma))
+    if scheme == "neighborhood":
+        if match_distances is None:
+            raise ValueError("neighborhood scheme requires match_distances")
+        return r2 * jnp.exp(-(match_distances**2) / (sigma * sigma))
+    if scheme == "geman_mcclure":
+        return sigma * r2 / (sigma + r2)
+    if scheme == "square_geman_mcclure":
+        return r2 * (sigma / (sigma + r2)) ** 2
+    if scheme == "cauchy":
+        return jnp.log1p(r2 / (sigma * sigma))
+    raise ValueError(f"unknown scheme {scheme!r}; choose from {LS_SCHEMES}")
+
+
+def robust_weights(
+    residuals: jax.Array,
+    scheme: str = "least_square",
+    sigma: float = 0.5,
+    eps: float = 1e-4,
+    match_distances: Optional[jax.Array] = None,
+) -> jax.Array:
+    """IRLS attenuation ``w(r) = sqrt(C(r)) / clamp(|r|, eps)`` (ref :53-60)."""
+    if scheme in ("least_square", "default"):
+        return jnp.ones_like(residuals)
+    cost = robust_cost(residuals, scheme, sigma, match_distances)
+    return jnp.sqrt(jnp.maximum(cost, 0.0)) / jnp.maximum(jnp.abs(residuals), eps)
+
+
+# ---------------------------------------------------------------------------
+# Batched Gauss-Newton
+# ---------------------------------------------------------------------------
+
+
+class GNResult(NamedTuple):
+    x: jax.Array  # (B, D) optimized parameters
+    cost: jax.Array  # (B,) final sum of squared (weighted) residuals
+    num_iters: jax.Array  # (B,) iterations actually applied
+    converged: jax.Array  # (B,) step-norm criterion hit
+
+
+def gauss_newton(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    jac_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    max_iters: int = 10,
+    norm_stop_criterion: float = 1e-3,
+    scheme: str = "least_square",
+    sigma: float = 0.5,
+    eps: float = 1e-4,
+    damping: float = 1e-9,
+    match_distances: Optional[jax.Array] = None,
+) -> GNResult:
+    """Batched Gauss-Newton over parameters ``x0 (B, D)``.
+
+    ``residual_fn(x) -> (B, N)``; ``jac_fn(x) -> (B, N, D)`` (defaults to
+    forward-mode autodiff, vmapped over the batch). Semantics follow the
+    reference ``GaussNewton.compute`` (optimization.py:306-354): residuals and
+    jacobian are scaled by the IRLS weights, the step solves the weighted
+    normal equations, and iteration stops when the per-problem step norm falls
+    below ``norm_stop_criterion``. Differences (deliberate, TPU-native):
+
+    - convergence is a per-batch-element mask inside ``lax.while_loop``; no
+      host sync, no data-dependent python control flow;
+    - the reference's hard det-guard ``RuntimeError`` becomes Tikhonov
+      damping ``H + λI`` (λ = ``damping`` · mean diag) — ill-conditioned
+      problems degrade gracefully instead of aborting the jit program.
+    """
+    if jac_fn is None:
+        jac_fn = jax.vmap(jax.jacfwd(lambda x: residual_fn(x[None])[0]))
+
+    d = x0.shape[-1]
+
+    def body(state):
+        x, it, converged = state
+        res = residual_fn(x)  # (B, N)
+        jac = jac_fn(x)  # (B, N, D)
+        w = robust_weights(res, scheme, sigma, eps, match_distances)
+        wres = res * w
+        wjac = jac * w[..., None]
+        h = jnp.einsum("bnd,bne->bde", wjac, wjac)
+        g = jnp.einsum("bnd,bn->bd", wjac, wres)
+        lam = damping * (jnp.trace(h, axis1=-2, axis2=-1) / d + 1.0)
+        h = h + lam[..., None, None] * jnp.eye(d, dtype=h.dtype)
+        dx = -jnp.linalg.solve(h, g[..., None])[..., 0]
+        active = jnp.logical_not(converged)
+        x = x + jnp.where(active[..., None], dx, 0.0)
+        step_norm = jnp.linalg.norm(dx, axis=-1)
+        converged = jnp.logical_or(converged, step_norm < norm_stop_criterion)
+        return x, it + 1, converged
+
+    def cond(state):
+        _, it, converged = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(converged)))
+
+    b = x0.shape[0]
+    init = (x0, jnp.zeros((), jnp.int32), jnp.zeros((b,), bool))
+    x, it, converged = jax.lax.while_loop(cond, body, init)
+    res = residual_fn(x)
+    w = robust_weights(res, scheme, sigma, eps, match_distances)
+    cost = jnp.sum((res * w) ** 2, axis=-1)
+    return GNResult(x=x, cost=cost, num_iters=jnp.broadcast_to(it, (b,)), converged=converged)
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative SE(3) Gauss-Newton (the ICP inner solver)
+# ---------------------------------------------------------------------------
+
+
+class SE3GNResult(NamedTuple):
+    pose: jax.Array  # (B, 4, 4) optimized pose
+    cost: jax.Array  # (B,) final sum of squared (weighted) residuals
+    num_iters: jax.Array  # (B,)
+    converged: jax.Array  # (B,)
+
+
+def point_to_plane_residual_jac(
+    pose: jax.Array,
+    source: jax.Array,
+    target: jax.Array,
+    normals: jax.Array,
+    mask: Optional[jax.Array] = None,
+):
+    """Residuals + left-perturbation jacobian of the point-to-plane objective.
+
+    ``r_i(δ) = n_i · (exp(δ)·T·p_i − q_i)`` evaluated at ``δ = 0`` for source
+    ``p (B,N,3)``, target ``q (B,N,3)``, plane normals ``n (B,N,3)``, pose
+    ``T (B,4,4)``. With ``p' = T·p``:
+    ``∂r/∂δ|₀ = [ n_iᵀ , (p'_i × n_i)ᵀ ]`` (twist layout (v, ω)).
+    Replaces the reference's trig-chain euler jacobians
+    (``PointToPlaneCost.get_residual_jac_fun``, optimization.py:395-464) with
+    plain cross products that XLA fuses into the residual build.
+    Invalid correspondences are zero-masked (their rows drop out of H and g).
+    """
+    p = se3.transform(pose, source)
+    res = jnp.sum(normals * (p - target), axis=-1)  # (B, N)
+    jac = jnp.concatenate([normals, jnp.cross(p, normals)], axis=-1)  # (B, N, 6)
+    if mask is not None:
+        res = res * mask
+        jac = jac * mask[..., None]
+    return res, jac
+
+
+def point_to_point_residual_jac(
+    pose: jax.Array,
+    source: jax.Array,
+    target: jax.Array,
+    mask: Optional[jax.Array] = None,
+):
+    """Residuals/jacobian of ``r = exp(δ)·T·p − q`` at ``δ=0``, flattened to 3N.
+
+    ``∂(exp(δ)p')/∂δ|₀ = [ I | −[p']ₓ ]``. (Ref ``PointToPointCost``,
+    optimization.py:468-570.)
+    """
+    b, n, _ = source.shape
+    p = se3.transform(pose, source)
+    res3 = p - target  # (B, N, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=source.dtype), (b, n, 3, 3))
+    from pwclonet_pylidarslam_tpu.core.rotation import hat
+
+    jac3 = jnp.concatenate([eye, -hat(p)], axis=-1)  # (B, N, 3, 6)
+    if mask is not None:
+        res3 = res3 * mask[..., None]
+        jac3 = jac3 * mask[..., None, None]
+    return res3.reshape(b, n * 3), jac3.reshape(b, n * 3, 6)
+
+
+def gauss_newton_se3(
+    residual_jac_fn: Callable[[jax.Array], tuple],
+    init_pose: jax.Array,
+    max_iters: int = 10,
+    norm_stop_criterion: float = 1e-3,
+    scheme: str = "least_square",
+    sigma: float = 0.5,
+    eps: float = 1e-4,
+    damping: float = 1e-9,
+    match_distances: Optional[jax.Array] = None,
+) -> SE3GNResult:
+    """Gauss-Newton on the SE(3) manifold with multiplicative updates.
+
+    ``residual_jac_fn(pose) -> (res (B,N), jac (B,N,6))`` where ``jac`` is the
+    jacobian w.r.t. a left perturbation ``exp(δ)·pose`` at ``δ=0``. Each
+    iteration solves the damped 6×6 normal equations and updates
+    ``pose ← exp(δ)·pose`` — the parameterization is re-centered every step,
+    so the analytic jacobian is exact everywhere (unlike additive updates on
+    twist coordinates).
+    """
+
+    def body(state):
+        pose, it, converged = state
+        res, jac = residual_jac_fn(pose)
+        w = robust_weights(res, scheme, sigma, eps, match_distances)
+        wres = res * w
+        wjac = jac * w[..., None]
+        h = jnp.einsum("bnd,bne->bde", wjac, wjac)
+        g = jnp.einsum("bnd,bn->bd", wjac, wres)
+        lam = damping * (jnp.trace(h, axis1=-2, axis2=-1) / 6.0 + 1.0)
+        h = h + lam[..., None, None] * jnp.eye(6, dtype=h.dtype)
+        dx = -jnp.linalg.solve(h, g[..., None])[..., 0]
+        active = jnp.logical_not(converged)
+        dx = jnp.where(active[..., None], dx, 0.0)
+        pose = se3.exp(dx) @ pose
+        step_norm = jnp.linalg.norm(dx, axis=-1)
+        converged = jnp.logical_or(converged, step_norm < norm_stop_criterion)
+        return pose, it + 1, converged
+
+    def cond(state):
+        _, it, converged = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(converged)))
+
+    b = init_pose.shape[0]
+    init = (init_pose, jnp.zeros((), jnp.int32), jnp.zeros((b,), bool))
+    pose, it, converged = jax.lax.while_loop(cond, body, init)
+    res, _ = residual_jac_fn(pose)
+    w = robust_weights(res, scheme, sigma, eps, match_distances)
+    cost = jnp.sum((res * w) ** 2, axis=-1)
+    return SE3GNResult(pose=pose, cost=cost, num_iters=jnp.broadcast_to(it, (b,)), converged=converged)
+
+
+def solve_point_to_plane(
+    source: jax.Array,
+    target: jax.Array,
+    normals: jax.Array,
+    mask: Optional[jax.Array] = None,
+    init_pose: Optional[jax.Array] = None,
+    **gn_kwargs,
+) -> SE3GNResult:
+    """One rigid-alignment solve: pose minimizing the point-to-plane cost."""
+    if init_pose is None:
+        init_pose = se3.identity_pose(source.shape[:-2], source.dtype)
+    fn = functools.partial(
+        point_to_plane_residual_jac, source=source, target=target,
+        normals=normals, mask=mask,
+    )
+    return gauss_newton_se3(lambda p: fn(p), init_pose, **gn_kwargs)
+
+
+def solve_point_to_point(
+    source: jax.Array,
+    target: jax.Array,
+    mask: Optional[jax.Array] = None,
+    init_pose: Optional[jax.Array] = None,
+    **gn_kwargs,
+) -> SE3GNResult:
+    if init_pose is None:
+        init_pose = se3.identity_pose(source.shape[:-2], source.dtype)
+    fn = functools.partial(
+        point_to_point_residual_jac, source=source, target=target, mask=mask
+    )
+    return gauss_newton_se3(lambda p: fn(p), init_pose, **gn_kwargs)
