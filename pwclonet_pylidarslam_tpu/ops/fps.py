@@ -1,0 +1,66 @@
+"""Furthest point sampling — fixed-shape, masked, TPU-friendly.
+
+Replaces the CUDA kernel ``furthest_point_sampling_kernel``
+(ref ``sampling_gpu.cu:69-173``). The algorithm is inherently sequential over
+the ``npoint`` samples; each step is a full-width masked min/argmax over N —
+pure VPU reduction work. On TPU the ``lax.fori_loop`` version below is already
+near bandwidth-bound: per step it streams the ``(B, N)`` running-distance
+vector and the ``(B, N, 3)`` cloud once. A Pallas variant that keeps the
+running distances resident in VMEM across steps lives in
+``ops/pallas/fps_kernel.py`` and is used automatically for shapes that fit.
+
+Semantics preserved from the reference kernel:
+- sample 0 is point 0 (deterministic start, ``sampling_gpu.cu:84-88``);
+- points with ``‖p‖² ≤ 1e-3`` are treated as padding and never selected
+  (the fork's padding guard, ``sampling_gpu.cu:101``) — expressed here via
+  the explicit ``mask`` argument, with the norm guard as the default mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PAD_NORM_SQ = 1e-3
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample(
+    points: jax.Array,
+    npoint: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Iterative FPS over ``points (B, N, 3)`` → indices ``(B, npoint)`` int32.
+
+    ``mask (B, N)``: 1 = selectable. Defaults to the reference's padding guard
+    ``‖p‖² > 1e-3``. If fewer valid points than ``npoint`` exist, the
+    remaining slots repeat already-selected points (fixed shapes, no error).
+    """
+    b, n, _ = points.shape
+    if mask is None:
+        mask = (jnp.sum(points * points, axis=-1) > _PAD_NORM_SQ).astype(points.dtype)
+    else:
+        mask = mask.astype(points.dtype)
+
+    # start at the first *valid* point (reference starts blindly at index 0;
+    # with the padding guard the two agree whenever point 0 is valid)
+    first = jnp.argmax(mask > 0, axis=-1).astype(jnp.int32)  # (B,)
+
+    big = jnp.asarray(1e10, points.dtype)
+    init_dist = jnp.where(mask > 0, big, -big)  # invalid points can never win
+
+    def body(i, carry):
+        dist, last_idx, out = carry
+        last_pt = jnp.take_along_axis(points, last_idx[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((points - last_pt) ** 2, axis=-1)  # (B, N)
+        dist = jnp.minimum(dist, jnp.where(mask > 0, d, -big))
+        nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return dist, nxt, out
+
+    out0 = jnp.zeros((b, npoint), jnp.int32).at[:, 0].set(first)
+    _, _, out = jax.lax.fori_loop(1, npoint, body, (init_dist, first, out0))
+    return out
