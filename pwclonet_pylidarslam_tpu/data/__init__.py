@@ -1,0 +1,7 @@
+"""Data layer: dataset readers (KITTI, KITTI-360, …), synthetic sequences,
+window/pair datasets, and host-side prefetching."""
+
+from pwclonet_pylidarslam_tpu.data.synthetic import (  # noqa: F401
+    SyntheticSequenceConfig,
+    generate_sequence,
+)

@@ -1,0 +1,255 @@
+"""Frame-to-model projective ICP odometry — one jitted step per frame.
+
+Re-design of the reference's ``ICPFrameToModel`` (``slam/odometry/icp_odometry.py``)
+for TPU: the entire per-frame pipeline (constant-velocity initialization →
+vertex/normal map build → model re-projection → iterated associate+GN →
+motion-gated keyframe insert) is a single compiled function over a persistent
+on-device state pytree. The host only reads back the 4×4 pose (SURVEY.md §7
+"host/device orchestration" hard part).
+
+Semantics preserved from the reference:
+- constant-velocity motion prior (``initialization.py:106-135``);
+- outer ICP loop with step-norm early stop ``threshold_delta_pose``
+  (``icp_odometry.py:248-299``) — expressed as a convergence mask inside a
+  fixed-trip ``lax.fori_loop``;
+- motion-gated map insert: translation > ``threshold_trans`` (0.1 m) or
+  rotation > ``threshold_rot`` (0.3°) since the last inserted keyframe
+  (``icp_odometry.py:361-381``), forced insert on an empty map;
+- robust point-to-plane GN with sigma 0.1 (config defaults ``:48-50``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.core import optimization as opt, se3
+from pwclonet_pylidarslam_tpu.core.geometry import compute_normal_map
+from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+from pwclonet_pylidarslam_tpu.slam import local_map as lm
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Config mirroring ``ICPFrameToModelConfig`` (ref icp_odometry.py:30-65)."""
+
+    projector: SphericalProjector = SphericalProjector()
+    num_points: int = 8192  # fixed scan size (pad/subsample on the host)
+    local_map_size: int = 20
+    max_num_alignments: int = 15
+    threshold_delta_pose: float = 1e-4
+    threshold_trans: float = 0.1  # meters
+    threshold_rot: float = 0.3  # degrees
+    sigma: float = 0.1  # robust scheme scale (floor; annealed with the gate)
+    scheme: str = "huber"
+    # coarse-to-fine association gate: starts at ``initial_assoc_distance``
+    # and halves every outer iteration down to ``max_assoc_distance``; a
+    # fixed tight gate rejects all matches when the motion prior is off by
+    # more than the gate (found by probing fast straight motion).
+    max_assoc_distance: float = 0.5
+    initial_assoc_distance: float = 4.0
+    gn_iters_per_alignment: int = 1
+    normal_kernel_size: int = 5
+
+
+class OdometryState(NamedTuple):
+    map: lm.LocalMapState
+    pose: jax.Array  # (4, 4) absolute pose of the last processed frame
+    last_rel: jax.Array  # (4, 4) last relative motion (constant-velocity prior)
+    last_kf_pose: jax.Array  # (4, 4) pose of the last inserted keyframe
+    frame_idx: jax.Array  # () int32
+
+
+class FrameResult(NamedTuple):
+    pose: jax.Array  # (4, 4) absolute pose of this frame
+    rel_pose: jax.Array  # (4, 4) relative motion from the previous frame
+    num_matches: jax.Array  # () number of valid associations in the last iter
+    icp_cost: jax.Array  # () final weighted cost
+    inserted_keyframe: jax.Array  # () bool
+
+
+def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
+    p = config.projector
+    return OdometryState(
+        map=lm.init_local_map(config.local_map_size, p.height, p.width, dtype),
+        pose=jnp.eye(4, dtype=dtype),
+        last_rel=jnp.eye(4, dtype=dtype),
+        last_kf_pose=jnp.eye(4, dtype=dtype),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def _register(
+    config: ICPConfig,
+    model: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Iterated associate + point-to-plane GN against the model map.
+
+    ``points (N,3)`` live in the *predicted* frame (the model was built
+    there); returns the residual correction ``delta (4,4)`` such that the
+    refined frame pose is ``predicted_pose @ delta`` … expressed in the
+    predicted frame: ``delta`` maps current-scan coordinates to model
+    coordinates. Also returns (num_matches, cost) of the final iteration.
+    """
+    proj = config.projector
+
+    def body(i, carry):
+        delta, converged, _, _ = carry
+        warped = se3.transform(delta[None], points[None])[0]
+        gate = jnp.maximum(
+            config.initial_assoc_distance * (0.5**i), config.max_assoc_distance
+        )
+        target, normal, w_assoc = lm.associate(model, warped, proj, gate)
+        w = w_assoc * mask
+        # anneal the robust scale with the gate: with a tight sigma at coarse
+        # iterations, spurious zero-residual matches outweigh the true
+        # large-residual evidence and ICP stalls under fast motion (found by
+        # probing 2 m/frame straight sequences)
+        sigma_i = jnp.maximum(config.sigma, 0.5 * gate)
+        result = opt.solve_point_to_plane(
+            points[None],
+            target[None],
+            normal[None],
+            mask=w[None],
+            init_pose=delta[None],
+            max_iters=config.gn_iters_per_alignment,
+            norm_stop_criterion=0.0,  # outer loop owns convergence
+            scheme=config.scheme,
+            sigma=sigma_i,
+        )
+        new_delta = result.pose[0]
+        step = se3.log(se3.inverse(delta)[None] @ new_delta[None])[0]
+        step_norm = jnp.linalg.norm(step)
+        new_delta = jnp.where(converged, delta, new_delta)
+        converged = jnp.logical_or(converged, step_norm < config.threshold_delta_pose)
+        return new_delta, converged, jnp.sum(w), result.cost[0]
+
+    init = (
+        jnp.eye(4, dtype=points.dtype),
+        jnp.zeros((), bool),
+        jnp.zeros((), points.dtype),
+        jnp.zeros((), points.dtype),
+    )
+    delta, _, num_matches, cost = jax.lax.fori_loop(
+        0, config.max_num_alignments, body, init
+    )
+    return delta, num_matches, cost
+
+
+def process_frame(
+    config: ICPConfig, state: OdometryState, points: jax.Array
+) -> Tuple[OdometryState, FrameResult]:
+    """One odometry step. ``points (num_points, 3)``, zero rows = padding.
+
+    Pure function of (state, scan); jit with
+    ``jax.jit(process_frame, static_argnums=0)`` — ``ICPOdometry`` below does
+    this once and reuses the compiled step for a whole sequence.
+    """
+    proj = config.projector
+    dtype = points.dtype
+    # scrub non-finite returns to padding (ref utils.remove_nan:171)
+    finite = jnp.all(jnp.isfinite(points), axis=-1, keepdims=True)
+    points = jnp.where(finite, points, 0.0)
+    valid = (jnp.linalg.norm(points, axis=-1) > 1e-3).astype(dtype)
+
+    # --- constant-velocity prediction (ref initialization.py:106-135)
+    predicted = state.pose @ state.last_rel
+
+    # --- build model in the predicted frame and register
+    model = lm.build_model_map(state.map, predicted, proj)
+    delta, num_matches, cost = _register(config, model, points, valid)
+    # refined absolute pose: scan -> predicted frame via delta, then predicted -> world
+    new_pose = se3.normalize(predicted @ delta)
+
+    # first frame (empty map): registration is a no-op; pose stays as-is
+    empty_map = jnp.sum(state.map.valid) == 0
+    new_pose = jnp.where(empty_map, state.pose, new_pose)
+
+    rel = se3.inverse(state.pose) @ new_pose
+    rel = jnp.where(empty_map, jnp.eye(4, dtype=dtype), rel)
+
+    # --- motion-gated keyframe insert (ref icp_odometry.py:361-381)
+    kf_rel = se3.log((se3.inverse(state.last_kf_pose) @ new_pose)[None])[0]
+    trans_mag = jnp.linalg.norm(kf_rel[:3])
+    rot_mag_deg = jnp.linalg.norm(kf_rel[3:]) * (180.0 / jnp.pi)
+    do_insert = jnp.logical_or(
+        jnp.logical_or(
+            trans_mag > config.threshold_trans, rot_mag_deg > config.threshold_rot
+        ),
+        empty_map,
+    )
+
+    vmap = proj.build_projection_map(points[None])[0]
+    normal_map = compute_normal_map(vmap[None], config.normal_kernel_size)[0]
+    new_map = lm.insert_keyframe(state.map, vmap, normal_map, new_pose, do_insert)
+
+    new_state = OdometryState(
+        map=new_map,
+        pose=new_pose,
+        last_rel=rel,
+        last_kf_pose=jnp.where(do_insert, new_pose, state.last_kf_pose),
+        frame_idx=state.frame_idx + 1,
+    )
+    return new_state, FrameResult(
+        pose=new_pose,
+        rel_pose=rel,
+        num_matches=num_matches,
+        icp_cost=cost,
+        inserted_keyframe=do_insert,
+    )
+
+
+class ICPOdometry:
+    """Host-side driver holding the compiled step and the device state.
+
+    Replaces ``ICPFrameToModel`` + ``OdometryAlgorithm`` (ref
+    ``slam/odometry/icp_odometry.py:72-382``). Usage::
+
+        odo = ICPOdometry(ICPConfig())
+        odo.init()
+        for scan in scans:                # (N, 3) numpy, zero rows = padding
+            pose = odo.process_next_frame(scan)
+    """
+
+    def __init__(self, config: Optional[ICPConfig] = None):
+        self.config = config or ICPConfig()
+        self._step = jax.jit(
+            lambda state, pts: process_frame(self.config, state, pts)
+        )
+        self.state: Optional[OdometryState] = None
+        self.results: list = []
+
+    def init(self):
+        self.state = init_state(self.config)
+        self.results = []
+
+    def process_next_frame(self, points: np.ndarray) -> np.ndarray:
+        """Feed one scan ``(N, 3)``; returns the absolute 4×4 pose (numpy)."""
+        pts = self._fix_size(points)
+        self.state, result = self._step(self.state, jnp.asarray(pts))
+        self.results.append(result)
+        return np.asarray(result.pose)
+
+    def _fix_size(self, points: np.ndarray) -> np.ndarray:
+        n = self.config.num_points
+        if points.shape[0] == n:
+            return points.astype(np.float32)
+        if points.shape[0] > n:
+            idx = np.random.default_rng(points.shape[0]).choice(
+                points.shape[0], n, replace=False
+            )
+            return points[idx].astype(np.float32)
+        pad = np.zeros((n - points.shape[0], 3), np.float32)
+        return np.concatenate([points.astype(np.float32), pad])
+
+    def relative_poses(self) -> np.ndarray:
+        return np.stack([np.asarray(r.rel_pose) for r in self.results])
+
+    def absolute_poses(self) -> np.ndarray:
+        return np.stack([np.asarray(r.pose) for r in self.results])

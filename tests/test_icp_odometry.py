@@ -1,0 +1,104 @@
+"""End-to-end tests: synthetic sequence → projective frame-to-model ICP → metrics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwclonet_pylidarslam_tpu.core import se3
+from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+from pwclonet_pylidarslam_tpu.data.synthetic import (
+    SyntheticSequenceConfig,
+    generate_sequence,
+)
+from pwclonet_pylidarslam_tpu.evaluation import metrics
+from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+from pwclonet_pylidarslam_tpu.slam import local_map as lm
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    cfg = SyntheticSequenceConfig(n_frames=12, trajectory="curve", speed=1.0, seed=2)
+    return generate_sequence(cfg)
+
+
+class TestLocalMap:
+    def test_insert_and_fifo(self):
+        proj = SphericalProjector(height=8, width=16)
+        state = lm.init_local_map(3, 8, 16)
+        vm = jnp.ones((8, 16, 3))
+        nm = jnp.ones((8, 16, 3))
+        for i in range(5):
+            pose = jnp.eye(4).at[0, 3].set(float(i))
+            state = lm.insert_keyframe(state, vm * (i + 1), nm, pose, jnp.asarray(True))
+        assert int(jnp.sum(state.valid)) == 3
+        # FIFO: slots hold frames 3, 4, 2 (pointer wrapped)
+        xs = np.asarray(state.poses)[:, 0, 3]
+        assert set(xs.tolist()) == {2.0, 3.0, 4.0}
+
+    def test_skipped_insert_changes_nothing(self):
+        state = lm.init_local_map(2, 4, 8)
+        vm = jnp.ones((4, 8, 3))
+        new = lm.insert_keyframe(state, vm, vm, jnp.eye(4), jnp.asarray(False))
+        assert int(jnp.sum(new.valid)) == 0
+        assert int(new.next_slot) == 0
+
+    def test_build_model_transforms_to_query_frame(self):
+        proj = SphericalProjector()
+        state = lm.init_local_map(2, proj.height, proj.width)
+        # keyframe at origin observing a wall of points in front
+        rng = np.random.default_rng(0)
+        pts = np.stack(
+            [np.full(500, 20.0), rng.uniform(-5, 5, 500), rng.uniform(-2, 2, 500)], -1
+        ).astype(np.float32)
+        vmap = proj.build_projection_map(jnp.asarray(pts[None]))[0]
+        nm = jnp.zeros_like(vmap)
+        state = lm.insert_keyframe(state, vmap, nm, jnp.eye(4), jnp.asarray(True))
+        # query from 5m forward: wall should appear ~15m ahead
+        query = jnp.eye(4).at[0, 3].set(5.0)
+        model = np.asarray(lm.build_model_map(state, query, proj))
+        occ = np.linalg.norm(model[..., :3], axis=-1) > 0
+        assert occ.sum() > 100
+        xs = model[..., 0][occ]
+        np.testing.assert_allclose(xs.mean(), 15.0, atol=0.5)
+
+
+class TestICPOdometry:
+    def test_tracks_synthetic_sequence(self, sequence):
+        scans, gt = sequence
+        odo = ICPOdometry(ICPConfig(num_points=scans.shape[1]))
+        odo.init()
+        for scan in scans:
+            odo.process_next_frame(scan)
+        pred = odo.absolute_poses()
+        rel_pred = metrics.compute_relative_poses(pred)
+        rel_gt = metrics.compute_relative_poses(gt)
+        ate, _ = metrics.compute_ate(rel_pred, rel_gt)
+        assert ate < 0.02  # < 2 cm per frame at 1 m/frame motion
+        final_drift = np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])
+        assert final_drift < 0.15
+
+    def test_first_frame_is_identity(self, sequence):
+        scans, _ = sequence
+        odo = ICPOdometry(ICPConfig(num_points=scans.shape[1]))
+        odo.init()
+        pose = odo.process_next_frame(scans[0])
+        np.testing.assert_allclose(pose, np.eye(4), atol=1e-6)
+        assert bool(odo.results[0].inserted_keyframe)
+
+    def test_stationary_scans_give_identity_motion(self, sequence):
+        scans, _ = sequence
+        odo = ICPOdometry(ICPConfig(num_points=scans.shape[1]))
+        odo.init()
+        odo.process_next_frame(scans[0])
+        odo.process_next_frame(scans[0])  # same scan again
+        rel = np.asarray(odo.results[-1].rel_pose)
+        np.testing.assert_allclose(rel, np.eye(4), atol=5e-3)
+
+    def test_arbitrary_scan_sizes_padded(self, sequence):
+        scans, _ = sequence
+        odo = ICPOdometry(ICPConfig(num_points=4096))
+        odo.init()
+        odo.process_next_frame(scans[0][:3000])  # smaller -> pad
+        odo.process_next_frame(scans[1])  # larger -> subsample
+        assert len(odo.results) == 2
+        assert np.all(np.isfinite(odo.absolute_poses()))

@@ -1,0 +1,69 @@
+"""Tests for KITTI odometry metrics against hand-computed values."""
+
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.evaluation import metrics
+
+
+def straight_trajectory(n, step=1.0):
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * step
+    return poses
+
+
+def test_relative_absolute_roundtrip(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    n = 20
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, :3] = R.random(n, random_state=3).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(n, 3)) * 10
+    rel = metrics.compute_relative_poses(poses)
+    # compute_absolute_poses rebuilds the chain starting from rel[0] = I,
+    # i.e. re-based at the first pose
+    rebuilt = np.einsum("ij,tjk->tik", poses[0], metrics.compute_absolute_poses(rel))
+    np.testing.assert_allclose(rebuilt, poses, atol=1e-8)
+
+
+def test_perfect_trajectory_zero_error():
+    gt = straight_trajectory(2500, 1.0)  # 2.5 km -> all segments available
+    tr, rot, errors = metrics.compute_kitti_metrics(gt.copy(), gt)
+    assert len(errors) > 0
+    assert tr == 0.0
+    assert rot == 0.0
+    md = metrics.metrics_dict(gt.copy(), gt)
+    assert md["tr_err"] == 0.0 and md["ATE"] == 0.0
+
+
+def test_known_scale_error():
+    gt = straight_trajectory(1200, 1.0)
+    pred = straight_trajectory(1200, 1.02)  # 2% overshoot
+    tr, rot, _ = metrics.compute_kitti_metrics(pred, gt)
+    # segment end frames overshoot the nominal length by up to one step,
+    # so the measured ratio is 0.02 * (seg+1)/seg
+    np.testing.assert_allclose(tr, 0.02, rtol=0.02)
+    assert rot == 0.0
+
+
+def test_short_trajectory_has_no_segments():
+    gt = straight_trajectory(50, 1.0)  # 50 m < smallest 100 m segment
+    tr, rot, errors = metrics.compute_kitti_metrics(gt.copy(), gt)
+    assert tr is None and rot is None and errors == []
+
+
+def test_ate_are_values():
+    gt = straight_trajectory(10, 1.0)
+    pred = gt.copy()
+    pred[:, 1, 3] += 0.1 * np.arange(10)  # constant 0.1 m/frame lateral drift
+    rel_p = metrics.compute_relative_poses(pred)
+    rel_g = metrics.compute_relative_poses(gt)
+    ate, std = metrics.compute_ate(rel_p, rel_g)
+    np.testing.assert_allclose(ate, 0.09, atol=1e-9)  # 9 of 10 rel poses drift
+    are, _ = metrics.compute_are(rel_p, rel_g)
+    assert are == 0.0
+
+
+def test_rotation_error_90deg():
+    err_pose = np.eye(4)
+    err_pose[:3, :3] = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]
+    np.testing.assert_allclose(metrics.rotation_error(err_pose), np.pi / 2, atol=1e-12)
