@@ -1,0 +1,69 @@
+"""Attentive cost volume ("double attentive embedding" for point mixture).
+
+Channel-last Flax re-design of ref ``slam/models/PWCLONet/costvolume.py:19-190``:
+
+1. **Cross-frame aggregate**: for each (warped) F1 point, kNN(``nsample_q``)
+   in F2; concat the 10-d spatial encoding with both feature sets → MLP1 →
+   first flow embedding; attention weights from MLP2 over [FC(spatial), emb],
+   softmax over the k neighbors → weighted sum.
+2. **Self aggregate**: kNN(``nsample``) of F1 in itself; second attention from
+   MLP3 over [FC(spatial), F1 features, grouped embeddings] → weighted sum of
+   the grouped first embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pwclonet_pylidarslam_tpu import ops
+from pwclonet_pylidarslam_tpu.models.layers import PointMLP, spatial_encoding
+
+
+class CostVolume(nn.Module):
+    nsample: int = 4  # self-aggregation neighborhood
+    nsample_q: int = 32  # cross-frame neighborhood
+    mlp1: Sequence[int] = (128, 64, 64)
+    mlp2: Sequence[int] = (128, 64)
+
+    @nn.compact
+    def __call__(self, xyz1, feat1, xyz2, feat2, train: bool, bn_momentum=0.1):
+        """``xyz1/feat1 (B,S,3)/(B,S,C1)`` (warped F1), ``xyz2/feat2`` (F2)
+        → flow embedding ``(B, S, mlp2[-1])``."""
+        # ---- first (cross-frame) attentive aggregate
+        _, idx_q = ops.knn(xyz1, xyz2, self.nsample_q)
+        q_xyz = ops.group_points(xyz2, idx_q)  # (B, S, Kq, 3)
+        q_feat = ops.group_points(feat2, idx_q)  # (B, S, Kq, C2)
+        enc = spatial_encoding(xyz1, q_xyz)  # (B, S, Kq, 10)
+        p_feat = jnp.broadcast_to(
+            feat1[:, :, None, :], q_feat.shape[:3] + (feat1.shape[-1],)
+        )
+        emb = PointMLP(tuple(self.mlp1))(
+            jnp.concatenate([enc, p_feat, q_feat], axis=-1),
+            train=train, bn_momentum=bn_momentum,
+        )  # (B, S, Kq, mlp1[-1])
+        enc1 = PointMLP((self.mlp1[-1],))(enc, train=train, bn_momentum=bn_momentum)
+        wq = PointMLP(tuple(self.mlp2))(
+            jnp.concatenate([enc1, emb], axis=-1), train=train, bn_momentum=bn_momentum
+        )
+        wq = jax.nn.softmax(wq, axis=-2)  # attention over the Kq neighbors
+        first = jnp.sum(wq * emb, axis=-2)  # (B, S, mlp1[-1])
+
+        # ---- second (self) attentive aggregate
+        _, idx_s = ops.knn(xyz1, xyz1, self.nsample)
+        s_xyz = ops.group_points(xyz1, idx_s)  # (B, S, Ks, 3)
+        s_emb = ops.group_points(first, idx_s)  # (B, S, Ks, mlp1[-1])
+        enc_s = spatial_encoding(xyz1, s_xyz)
+        enc2 = PointMLP((self.mlp1[-1],))(enc_s, train=train, bn_momentum=bn_momentum)
+        p_feat_s = jnp.broadcast_to(
+            feat1[:, :, None, :], s_emb.shape[:3] + (feat1.shape[-1],)
+        )
+        wp = PointMLP(tuple(self.mlp2))(
+            jnp.concatenate([enc2, p_feat_s, s_emb], axis=-1),
+            train=train, bn_momentum=bn_momentum,
+        )
+        wp = jax.nn.softmax(wp, axis=-2)
+        return jnp.sum(wp * s_emb, axis=-2)  # (B, S, mlp2[-1])

@@ -1,0 +1,168 @@
+"""Train state + jitted train/eval steps for PWCLO-Net.
+
+Replaces the reference's ``ATrainer`` device/optimizer plumbing
+(``slam/training/trainer.py:247-342``) with a functional optax/flax setup:
+
+- one ``TrainState`` pytree: network params, batch stats, loss params
+  (learned exponential weights), optimizer state, step counter;
+- Adam over network + loss params jointly (ref ``_load_optimizer:311-327``);
+- cosine LR 1e-3 → 1e-6 over the full run (ref ``train.py:309-317`` /
+  ``config/train_pwclonet.yaml``) or the custom exponential-clip alternative;
+- BN momentum schedule 0.5 → 0.01 halving every ``bn_decay_step`` epochs
+  (ref ``BNMomentumScheduler`` semantics, ``train.py:320-323``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pwclonet_pylidarslam_tpu.models import PWCLONet, PWCLONetConfig
+from pwclonet_pylidarslam_tpu.train.losses import (
+    PWCLONetLossConfig,
+    init_loss_params,
+    pwclonet_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: PWCLONetConfig = PWCLONetConfig()
+    loss: PWCLONetLossConfig = PWCLONetLossConfig()
+    learning_rate: float = 1e-3
+    lr_min: float = 1e-6
+    total_steps: int = 100_000  # for the cosine schedule
+    weight_decay: float = 0.0
+    bn_momentum_init: float = 0.5
+    bn_momentum_decay: float = 0.5
+    bn_decay_steps: int = 10_000  # steps between BN momentum halvings
+    bn_momentum_min: float = 0.01
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    loss_params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_schedules(config: TrainConfig):
+    lr = optax.cosine_decay_schedule(
+        config.learning_rate, config.total_steps,
+        alpha=config.lr_min / config.learning_rate,
+    )
+
+    def bn_momentum(step):
+        m = config.bn_momentum_init * (
+            config.bn_momentum_decay ** (step // config.bn_decay_steps)
+        )
+        return jnp.maximum(m, config.bn_momentum_min)
+
+    return lr, bn_momentum
+
+
+def make_optimizer(config: TrainConfig):
+    lr, _ = make_schedules(config)
+    if config.weight_decay > 0:
+        return optax.adamw(lr, weight_decay=config.weight_decay)
+    return optax.adam(lr)
+
+
+def create_train_state(config: TrainConfig, rng: jax.Array) -> Tuple[PWCLONet, TrainState]:
+    model = PWCLONet(config.model)
+    n = config.model.num_points
+    dummy = jnp.zeros((1, n, 3), jnp.float32)
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng}, dummy, dummy, train=False
+    )
+    loss_params = init_loss_params(config.loss)
+    trainable = {"net": variables["params"], "loss": loss_params}
+    opt = make_optimizer(config)
+    return model, TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        loss_params=loss_params,
+        opt_state=opt.init(trainable),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step(
+    model: PWCLONet,
+    config: TrainConfig,
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    dropout_rng: jax.Array,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One SGD step. ``batch``: ``{"xyz1": (B,N,3), "xyz2": (B,N,3),
+    "gt_params": (B,7)}`` with gt = (t, q_wxyz) mapping frame1 → frame2.
+
+    jit as ``jax.jit(train_step, static_argnums=(0, 1))``.
+    """
+    _, bn_momentum_fn = make_schedules(config)
+    bn_m = bn_momentum_fn(state.step)
+    opt = make_optimizer(config)
+
+    def loss_fn(trainable):
+        (pred, _aux), mutated = model.apply(
+            {"params": trainable["net"], "batch_stats": state.batch_stats},
+            batch["xyz1"],
+            batch["xyz2"],
+            train=True,
+            bn_momentum=bn_m,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss, log = pwclonet_loss(trainable["loss"], pred, batch["gt_params"], config.loss)
+        return loss, (mutated["batch_stats"], log)
+
+    trainable = {"net": state.params, "loss": state.loss_params}
+    grads, (new_bs, log) = jax.grad(loss_fn, has_aux=True)(trainable)
+    updates, new_opt = opt.update(grads, state.opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+
+    # NaN-loss guard (ref trainer.py:614-631): skip the update entirely
+    finite = jnp.isfinite(log["loss"])
+    new_state = TrainState(
+        params=jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_trainable["net"], state.params
+        ),
+        batch_stats=jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_bs, state.batch_stats
+        ),
+        loss_params=jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_trainable["loss"], state.loss_params,
+        ),
+        opt_state=jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old) if isinstance(new, jnp.ndarray) else new,
+            new_opt, state.opt_state,
+        ),
+        step=state.step + 1,
+    )
+    log["grad_norm"] = optax.global_norm(grads)
+    log["skipped_nonfinite"] = jnp.logical_not(finite)
+    return new_state, log
+
+
+def eval_step(
+    model: PWCLONet,
+    config: TrainConfig,
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Forward + loss with running BN stats, no dropout (ref ``evaluate_epoch``)."""
+    pred, _aux = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["xyz1"],
+        batch["xyz2"],
+        train=False,
+    )
+    loss, log = pwclonet_loss(state.loss_params, pred, batch["gt_params"], config.loss)
+    return pred, log
