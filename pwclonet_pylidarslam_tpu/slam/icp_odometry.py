@@ -99,11 +99,12 @@ def _register(
     """
     proj = config.projector
 
-    def body(i, carry):
-        delta, converged, _, _ = carry
+    def body(carry):
+        i, delta, converged, _, _ = carry
         warped = se3.transform(delta[None], points[None])[0]
         gate = jnp.maximum(
-            config.initial_assoc_distance * (0.5**i), config.max_assoc_distance
+            config.initial_assoc_distance * jnp.exp2(-i.astype(points.dtype)),
+            config.max_assoc_distance,
         )
         target, normal, w_assoc = lm.associate(model, warped, proj, gate)
         w = w_assoc * mask
@@ -126,19 +127,26 @@ def _register(
         new_delta = result.pose[0]
         step = se3.log(se3.inverse(delta)[None] @ new_delta[None])[0]
         step_norm = jnp.linalg.norm(step)
-        new_delta = jnp.where(converged, delta, new_delta)
-        converged = jnp.logical_or(converged, step_norm < config.threshold_delta_pose)
-        return new_delta, converged, jnp.sum(w), result.cost[0]
+        # only declare convergence once the gate has annealed to its floor,
+        # otherwise a small early step under a wide gate stops the loop
+        gate_done = gate <= config.max_assoc_distance * 1.001
+        converged = jnp.logical_and(gate_done, step_norm < config.threshold_delta_pose)
+        return i + 1, new_delta, converged, jnp.sum(w), result.cost[0]
+
+    def cond(carry):
+        i, _, converged, _, _ = carry
+        return jnp.logical_and(i < config.max_num_alignments, jnp.logical_not(converged))
 
     init = (
+        jnp.zeros((), jnp.int32),
         jnp.eye(4, dtype=points.dtype),
         jnp.zeros((), bool),
         jnp.zeros((), points.dtype),
         jnp.zeros((), points.dtype),
     )
-    delta, _, num_matches, cost = jax.lax.fori_loop(
-        0, config.max_num_alignments, body, init
-    )
+    # while_loop: genuinely stops at convergence instead of masking the
+    # remaining fixed-trip iterations (2-3x fewer iterations on average)
+    _, delta, _, num_matches, cost = jax.lax.while_loop(cond, body, init)
     return delta, num_matches, cost
 
 
@@ -205,6 +213,23 @@ def process_frame(
     )
 
 
+def process_sequence(
+    config: ICPConfig, state: OdometryState, scans: jax.Array
+) -> Tuple[OdometryState, FrameResult]:
+    """Run a whole sequence ``scans (T, N, 3)`` on device under ``lax.scan``.
+
+    One dispatch for T frames: no per-frame host↔device round trips (the
+    per-frame API pays one upload + one sync per frame, which dominates over
+    a network-attached device). Returns stacked per-frame results.
+    """
+
+    def body(s, scan):
+        s2, r = process_frame(config, s, scan)
+        return s2, r
+
+    return jax.lax.scan(body, state, scans)
+
+
 class ICPOdometry:
     """Host-side driver holding the compiled step and the device state.
 
@@ -219,8 +244,11 @@ class ICPOdometry:
 
     def __init__(self, config: Optional[ICPConfig] = None):
         self.config = config or ICPConfig()
+        # donate the state: the ring-buffer maps (~20 MB) update in place on
+        # device instead of being copied every frame
         self._step = jax.jit(
-            lambda state, pts: process_frame(self.config, state, pts)
+            lambda state, pts: process_frame(self.config, state, pts),
+            donate_argnums=0,
         )
         self.state: Optional[OdometryState] = None
         self.results: list = []
@@ -247,6 +275,22 @@ class ICPOdometry:
             return points[idx].astype(np.float32)
         pad = np.zeros((n - points.shape[0], 3), np.float32)
         return np.concatenate([points.astype(np.float32), pad])
+
+    def process_sequence(self, scans: np.ndarray) -> np.ndarray:
+        """Process ``(T, N, 3)`` scans in one device dispatch (lax.scan).
+
+        Appends all per-frame results and returns absolute poses ``(T,4,4)``.
+        """
+        if not hasattr(self, "_seq_step"):
+            self._seq_step = jax.jit(
+                lambda state, s: process_sequence(self.config, state, s),
+                donate_argnums=0,
+            )
+        self.state, results = self._seq_step(self.state, jnp.asarray(scans))
+        results = jax.tree.map(np.asarray, results)
+        for t in range(scans.shape[0]):
+            self.results.append(jax.tree.map(lambda x: x[t], results))
+        return results.pose
 
     def relative_poses(self) -> np.ndarray:
         return np.stack([np.asarray(r.rel_pose) for r in self.results])
