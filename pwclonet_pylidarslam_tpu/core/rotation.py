@@ -300,16 +300,25 @@ def so3_exp(omega: jax.Array, eps: float = 1e-8) -> jax.Array:
     return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
 
 
-def so3_log(rot: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """Rotation ``(..., 3, 3)`` → axis-angle ``(..., 3)`` (principal branch)."""
+def so3_log(rot: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Rotation ``(..., 3, 3)`` → axis-angle ``(..., 3)`` (principal branch).
+
+    Differentiation-safe: ``arccos`` is evaluated on an input clipped away
+    from ±1 (its derivative is −∞ there, and jax ``where`` leaks NaN
+    tangents from untaken branches), with series/near-π branches selected on
+    the *unclipped* cosine so values stay exact.
+    """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    cos_raw = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    cos_safe = jnp.clip(cos_raw, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_safe)
     w = vee(rot - jnp.swapaxes(rot, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_theta = jnp.sin(theta)
-    small = theta < eps
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_theta))
-    near_pi = jnp.pi - theta < 1e-4
+    small = cos_raw > 1.0 - eps  # theta ≲ 1.4e-3: use the series
+    scale = jnp.where(
+        small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_theta)
+    )
+    near_pi = cos_raw < -1.0 + 1e-4
     # near pi: axis from the dominant column of (R + I)
     m = rot + jnp.eye(3, dtype=rot.dtype)
     col_norms = jnp.linalg.norm(m, axis=-2)

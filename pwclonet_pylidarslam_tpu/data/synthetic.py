@@ -133,6 +133,16 @@ def make_trajectory(kind: str, n_frames: int, speed: float = 1.0) -> np.ndarray:
             c, s = np.cos(ang), np.sin(ang)
             poses[t, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
             poses[t, :3, 3] = [radius * s, radius * (1 - c), 0.0]
+    elif kind == "there_and_back":
+        # drive out along +x, then reverse back with a small lateral offset —
+        # a rotation-free closed loop (exercises loop closure / backends
+        # without stressing the odometry's per-frame rotation limits)
+        half = n_frames // 2
+        for t in range(n_frames):
+            if t < half:
+                poses[t, :3, 3] = [speed * t, 0.0, 0.0]
+            else:
+                poses[t, :3, 3] = [speed * (2 * half - t - 1), 0.5, 0.0]
     else:
         raise ValueError(f"unknown trajectory kind {kind!r}")
     return poses

@@ -1,0 +1,183 @@
+"""Results persistence: metrics.yaml, pose files, trajectory plots, benchmark
+tables.
+
+Port of the reference's ``OdometryResults`` (``slam/eval/eval_odometry.py:461-771``)
+and ``build_benchmark_md.py``: per-sequence pose txt files (KITTI 3×4 rows),
+``metrics.yaml`` with the exact reference schema, trajectory PNGs, and a
+markdown benchmark aggregator.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.evaluation import metrics as metrics_mod
+
+
+def write_poses_txt(path: str, poses: np.ndarray):
+    """KITTI format: N rows of the flattened 3×4 (ref io.py / KITTI360_IO)."""
+    np.savetxt(path, poses[:, :3, :4].reshape(len(poses), 12))
+
+
+def read_poses_txt(path: str) -> np.ndarray:
+    flat = np.loadtxt(path).reshape(-1, 12)
+    poses = np.tile(np.eye(4), (len(flat), 1, 1))
+    poses[:, :3, :4] = flat.reshape(-1, 3, 4)
+    return poses
+
+
+def write_metrics_yaml(path: str, metrics_by_sequence: Dict[str, Dict[str, float]]):
+    """Schema identical to ref ``eval_odometry.save_metrics:750-759``."""
+    lines = []
+    for seq, md in metrics_by_sequence.items():
+        lines.append(f"{seq}:")
+        for k, v in md.items():
+            lines.append(f"  {k}: {v}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def read_metrics_yaml(path: str) -> Dict[str, Dict[str, float]]:
+    out: Dict[str, Dict[str, float]] = {}
+    current = None
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            if not line.startswith(" "):
+                current = line.strip().rstrip(":")
+                out[current] = {}
+            else:
+                k, v = line.strip().split(":", 1)
+                out[current][k.strip()] = float(v)
+    return out
+
+
+def plot_trajectories(
+    path: str,
+    predicted: np.ndarray,
+    ground_truth: Optional[np.ndarray] = None,
+    title: str = "trajectory",
+):
+    """Top-down (x, y) trajectory PNG (ref ``draw_trajectory_files:150``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.plot(predicted[:, 0, 3], predicted[:, 1, 3], label="prediction", lw=1.2)
+    if ground_truth is not None:
+        ax.plot(
+            ground_truth[:, 0, 3], ground_truth[:, 1, 3],
+            label="ground truth", lw=1.2, ls="--",
+        )
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend()
+    ax.set_title(title)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+class OdometryResults:
+    """Per-run results directory (ref ``OdometryResults``).
+
+    Layout::
+
+        <log_dir>/
+          <seq>.poses.txt       predicted absolute poses
+          <seq>_gt.poses.txt    ground truth (if available)
+          <seq>.png             trajectory plot
+          metrics.yaml          per-sequence metric dict
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.metrics: Dict[str, Dict[str, float]] = {}
+
+    def add_sequence(
+        self,
+        sequence_name: str,
+        predicted: np.ndarray,
+        ground_truth: Optional[np.ndarray] = None,
+        elapsed_seconds: Optional[float] = None,
+        plot: bool = True,
+    ) -> Optional[Dict[str, float]]:
+        write_poses_txt(
+            os.path.join(self.log_dir, f"{sequence_name}.poses.txt"), predicted
+        )
+        md = None
+        if ground_truth is not None:
+            write_poses_txt(
+                os.path.join(self.log_dir, f"{sequence_name}_gt.poses.txt"),
+                ground_truth,
+            )
+            nspf = (
+                elapsed_seconds / len(predicted) * 1e9
+                if elapsed_seconds is not None
+                else None
+            )
+            md = metrics_mod.metrics_dict(predicted, ground_truth, nsecs_per_frame=nspf)
+            self.metrics[sequence_name] = md
+            write_metrics_yaml(os.path.join(self.log_dir, "metrics.yaml"), self.metrics)
+        if plot:
+            try:
+                plot_trajectories(
+                    os.path.join(self.log_dir, f"{sequence_name}.png"),
+                    predicted,
+                    ground_truth,
+                    title=sequence_name,
+                )
+            except Exception:
+                pass  # plotting is best-effort (headless/broken matplotlib)
+        return md
+
+
+def build_benchmark_md(result_dirs: List[str], out_path: str, dataset_name: str = "KITTI"):
+    """Aggregate ``metrics.yaml`` files into a ranked markdown table
+    (ref ``build_benchmark_md.py:52-196``)."""
+    rows = []
+    for d in result_dirs:
+        ypath = os.path.join(d, "metrics.yaml")
+        if not os.path.exists(ypath):
+            continue
+        per_seq = read_metrics_yaml(ypath)
+        if not per_seq:
+            continue
+        avg_tr = float(np.mean([m.get("tr_err", np.nan) for m in per_seq.values()]))
+        avg_rot = float(np.mean([m.get("rot_err", np.nan) for m in per_seq.values()]))
+        ms = [
+            m["nsecs_per_frame"] / 1e6
+            for m in per_seq.values()
+            if "nsecs_per_frame" in m
+        ]
+        rows.append(
+            {
+                "name": os.path.basename(os.path.normpath(d)),
+                "tr_err": avg_tr,
+                "rot_err": avg_rot,
+                "ms_per_frame": float(np.mean(ms)) if ms else float("nan"),
+                "sequences": ", ".join(per_seq.keys()),
+            }
+        )
+    rows.sort(key=lambda r: r["tr_err"])
+    lines = [
+        f"# {dataset_name} benchmark",
+        "",
+        "| run | avg t_rel (%) | avg r_rel (deg/100m) | ms/frame | sequences |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['name']} | {r['tr_err']:.4f} | {r['rot_err']:.4f} | "
+            f"{r['ms_per_frame']:.1f} | {r['sequences']} |"
+        )
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return rows

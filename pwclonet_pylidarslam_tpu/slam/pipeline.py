@@ -1,0 +1,135 @@
+"""SLAM orchestrator: odometry + loop closure + pose-graph backend.
+
+Replacement for the reference's ``SLAM`` class (``slam/slam.py:36-223``).
+The five-slot architecture is preserved — initialization / preprocessing /
+odometry / loop closure / backend — but state flows through explicit objects
+instead of a string-keyed dict:
+
+- initialization: the constant-velocity prior lives inside the jitted
+  odometry state (``icp_odometry.OdometryState.last_rel``);
+- preprocessing: :class:`slam.preprocessing.Preprocessing`;
+- odometry: any object with ``init()`` / ``process_next_frame(points) →
+  pose`` (ICPOdometry or DeepOdometry);
+- loop closure: :class:`slam.loop_closure.ElevationImageLoopClosure`;
+- backend: incremental :class:`slam.backend.PoseGraphBuilder` optimized on
+  device whenever a loop constraint arrives (ref ``backend.py:376-385``
+  policy), after which odometry-facing poses are resynchronized
+  (ref ``slam.py:158-168``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.slam import backend as backend_mod
+from pwclonet_pylidarslam_tpu.slam.icp_odometry import ICPConfig, ICPOdometry
+from pwclonet_pylidarslam_tpu.slam.loop_closure import (
+    ElevationImageLoopClosure,
+    LoopClosureConfig,
+)
+
+
+@dataclasses.dataclass
+class SLAMConfig:
+    odometry: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    with_loop_closure: bool = False
+    loop_closure: LoopClosureConfig = dataclasses.field(
+        default_factory=LoopClosureConfig
+    )
+    with_backend: bool = False
+    backend_max_nodes: int = 8192
+    backend_max_edges: int = 16384
+    pgo: backend_mod.PGOConfig = dataclasses.field(default_factory=backend_mod.PGOConfig)
+
+
+class SLAM:
+    """Online SLAM over one sequence (ref ``SLAM.init/process_next_frame``)."""
+
+    def __init__(self, config: Optional[SLAMConfig] = None, odometry=None):
+        self.config = config or SLAMConfig()
+        self.odometry = odometry or ICPOdometry(self.config.odometry)
+        self.loop_closure = (
+            ElevationImageLoopClosure(self.config.loop_closure)
+            if self.config.with_loop_closure
+            else None
+        )
+        self.builder: Optional[backend_mod.PoseGraphBuilder] = None
+        self._optimized_poses: Optional[np.ndarray] = None
+        self.elapsed: List[float] = []
+
+    def init(self):
+        self.odometry.init()
+        if self.loop_closure is not None:
+            self.loop_closure.reset()
+        if self.config.with_backend:
+            self.builder = backend_mod.PoseGraphBuilder(
+                self.config.backend_max_nodes, self.config.backend_max_edges
+            )
+        self._optimized_poses = None
+        self._prev_pose = None
+        self.elapsed = []
+
+    def process_next_frame(self, points: np.ndarray) -> np.ndarray:
+        """One frame ``(N, 3)`` → current absolute pose estimate ``(4, 4)``."""
+        t0 = time.perf_counter()
+        pose = self.odometry.process_next_frame(points)
+
+        if self.builder is not None:
+            node = self.builder.add_node(pose)
+            if node > 0:
+                rel = np.linalg.inv(self._prev_pose) @ pose
+                self.builder.add_odometry_edge(node - 1, rel)
+        self._prev_pose = pose
+
+        new_constraints = []
+        if self.loop_closure is not None:
+            new_constraints = self.loop_closure.process_next_frame(points, pose)
+            if self.builder is not None:
+                for c in new_constraints:
+                    self.builder.add_loop_edge(
+                        c.frame_i, c.frame_j, c.relative_pose
+                    )
+
+        # optimize only when a loop constraint arrives (ref backend.py:376-385)
+        if self.builder is not None and new_constraints:
+            graph = self.builder.to_device()
+            out = backend_mod.optimize(graph, self.config.pgo)
+            n = len(self.builder.poses)
+            optimized = np.asarray(out.poses[:n], np.float64)
+            self._optimized_poses = optimized
+            # resync all components to the corrected trajectory (ref slam.py:165-167)
+            self.builder.poses = [optimized[i] for i in range(n)]
+            if self.loop_closure is not None:
+                self.loop_closure.update_positions(optimized)
+            self._prev_pose = optimized[-1]
+            self._resync_odometry(optimized[-1])
+            pose = optimized[-1]
+
+        self.elapsed.append(time.perf_counter() - t0)
+        return pose
+
+    def _resync_odometry(self, corrected_pose: np.ndarray):
+        """Push the backend-corrected pose into the odometry state so future
+        frames integrate from the optimized trajectory."""
+        state = getattr(self.odometry, "state", None)
+        if state is not None and hasattr(state, "pose"):
+            import jax.numpy as jnp
+
+            self.odometry.state = state._replace(
+                pose=jnp.asarray(corrected_pose, state.pose.dtype)
+            )
+
+    def absolute_poses(self) -> np.ndarray:
+        if self.builder is not None and self.builder.poses:
+            return np.stack(self.builder.poses)
+        return self.odometry.absolute_poses()
+
+    def relative_poses(self) -> np.ndarray:
+        absolute = self.absolute_poses()
+        from pwclonet_pylidarslam_tpu.evaluation.metrics import compute_relative_poses
+
+        return compute_relative_poses(absolute)

@@ -1,0 +1,76 @@
+"""SLAM runner: drive the pipeline over dataset sequences, evaluate, persist.
+
+Replacement for the reference's ``SLAMRunner``
+(``slam/odometry/odometry_runner.py:74-358``): per-sequence loop, failure
+isolation (a crashing sequence is recorded and the run continues — ref
+``:113-135`` moves the workdir to a fail dir), incremental timing, and
+``OdometryResults`` persistence (poses, metrics.yaml, plots).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import traceback
+from typing import Dict, Iterable, Optional, Protocol, Tuple
+
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
+from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
+
+
+class SequenceSource(Protocol):
+    """Anything that yields per-frame scans and optional GT poses."""
+
+    def __len__(self) -> int: ...
+
+    def scan(self, idx: int) -> np.ndarray: ...
+
+    def ground_truth(self) -> Optional[np.ndarray]: ...
+
+
+@dataclasses.dataclass
+class SLAMRunnerConfig:
+    slam: SLAMConfig = dataclasses.field(default_factory=SLAMConfig)
+    log_dir: str = "./slam_output"
+    fail_on_error: bool = False
+    max_frames: Optional[int] = None  # cap frames per sequence (debug)
+
+
+class SLAMRunner:
+    def __init__(self, config: Optional[SLAMRunnerConfig] = None):
+        self.config = config or SLAMRunnerConfig()
+        self.results = OdometryResults(self.config.log_dir)
+        self.failures: Dict[str, str] = {}
+
+    def run(self, sequences: Dict[str, SequenceSource]) -> Dict[str, Dict[str, float]]:
+        """Run SLAM over named sequences; returns per-sequence metric dicts."""
+        out = {}
+        for name, source in sequences.items():
+            try:
+                out[name] = self._run_sequence(name, source)
+            except Exception as exc:  # noqa: BLE001 — runner must survive (ref :168-200)
+                self.failures[name] = traceback.format_exc()
+                if self.config.fail_on_error:
+                    raise
+                print(f"[SLAMRunner] sequence {name} FAILED: {exc}")
+        return out
+
+    def _run_sequence(self, name: str, source: SequenceSource):
+        slam = SLAM(self.config.slam)
+        slam.init()
+        n = len(source)
+        if self.config.max_frames is not None:
+            n = min(n, self.config.max_frames)
+        t0 = time.perf_counter()
+        for i in range(n):
+            slam.process_next_frame(source.scan(i))
+        elapsed = time.perf_counter() - t0
+        predicted = slam.absolute_poses()
+        gt = source.ground_truth()
+        if gt is not None:
+            gt = gt[:n]
+        return self.results.add_sequence(
+            name, predicted, gt, elapsed_seconds=elapsed
+        )

@@ -1,0 +1,140 @@
+"""Pose-graph backend tests: the reference's circle scenario with REAL
+assertions (its ``tests/test_backend.py`` opens a viz window and asserts
+nothing — SURVEY.md §4 flags that)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwclonet_pylidarslam_tpu.core import se3
+from pwclonet_pylidarslam_tpu.slam import backend
+
+
+def circle_poses(n, radius=20.0):
+    """Ground-truth circular trajectory (yaw tangent to the circle)."""
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    for t in range(n):
+        a = 2 * np.pi * t / n
+        c, s = np.cos(a), np.sin(a)
+        poses[t, :3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        poses[t, :3, 3] = [radius * s, radius * (1 - c), 0]
+    return poses
+
+
+def drifted_odometry(gt, rng, noise_rot=0.002, noise_trans=0.02):
+    """Relative GT poses corrupted by noise → drifting absolute chain."""
+    rels = []
+    for t in range(1, len(gt)):
+        rel = np.linalg.inv(gt[t - 1]) @ gt[t]
+        noise = np.concatenate(
+            [rng.normal(scale=noise_trans, size=3), rng.normal(scale=noise_rot, size=3)]
+        )
+        rels.append(rel @ np.asarray(se3.exp(jnp.asarray(noise))))
+    absolute = [gt[0]]
+    for r in rels:
+        absolute.append(absolute[-1] @ r)
+    return np.stack(absolute), rels
+
+
+@pytest.fixture(scope="module")
+def circle_problem():
+    rng = np.random.default_rng(0)
+    n = 60
+    gt = circle_poses(n)
+    drifted, rels = drifted_odometry(gt, rng)
+    builder = backend.PoseGraphBuilder(max_nodes=64, max_edges=128)
+    for p in drifted:
+        builder.add_node(p)
+    for i, r in enumerate(rels):
+        builder.add_odometry_edge(i, r)
+    # loop closure: last frame sees the first (true relative pose)
+    loop_rel = np.linalg.inv(gt[n - 1]) @ gt[0]
+    builder.add_loop_edge(0, n - 1, np.linalg.inv(loop_rel) @ np.eye(4) @ np.eye(4))
+    # measurement = pose of j in i's frame: inv(gt[0]) @ gt[n-1]
+    builder.edges[-1] = (
+        0, n - 1, np.linalg.inv(gt[0]) @ gt[n - 1],
+        np.asarray(backend.LOOP_INFO),
+    )
+    return gt, drifted, builder
+
+
+def test_optimization_reduces_cost_and_closes_loop(circle_problem):
+    gt, drifted, builder = circle_problem
+    graph = builder.to_device(jnp.float64)
+    cost_before = float(backend.graph_cost(graph))
+    out = backend.optimize(graph, backend.PGOConfig(max_iterations=15))
+    cost_after = float(backend.graph_cost(out))
+    assert cost_after < cost_before
+
+    n = len(gt)
+    opt = np.asarray(out.poses[:n])
+    err_before = np.linalg.norm(drifted[:, :3, 3] - gt[:, :3, 3], axis=1)
+    err_after = np.linalg.norm(opt[:, :3, 3] - gt[:, :3, 3], axis=1)
+    # drift at the loop end must collapse; overall drift improves (a single
+    # loop edge redistributes but cannot remove mid-chain noise)
+    assert err_after[-1] < 0.2
+    assert err_after[-1] < err_before[-1] * 0.25
+    assert err_after.mean() < err_before.mean() * 0.8
+    # rotations remain valid
+    from pwclonet_pylidarslam_tpu.core import rotation as rot
+
+    assert np.all(np.asarray(rot.is_rotation_matrix(jnp.asarray(opt[:, :3, :3]))))
+
+
+def test_anchor_stays_fixed(circle_problem):
+    gt, drifted, builder = circle_problem
+    graph = builder.to_device(jnp.float64)
+    out = backend.optimize(graph)
+    np.testing.assert_allclose(np.asarray(out.poses[0]), drifted[0], atol=1e-9)
+
+
+def test_perfect_graph_is_stationary():
+    gt = circle_poses(30)
+    builder = backend.PoseGraphBuilder(max_nodes=32, max_edges=64)
+    for p in gt:
+        builder.add_node(p)
+    for i in range(29):
+        builder.add_odometry_edge(i, np.linalg.inv(gt[i]) @ gt[i + 1])
+    graph = builder.to_device(jnp.float64)
+    out = backend.optimize(graph, backend.PGOConfig(max_iterations=5))
+    np.testing.assert_allclose(np.asarray(out.poses[:30]), gt, atol=1e-6)
+
+
+def test_absolute_constraint_pins_node():
+    # odometry chain with a wrong scale + GPS-style unary prior on the far end
+    gt = circle_poses(20)
+    rng = np.random.default_rng(1)
+    drifted, rels = drifted_odometry(gt, rng, noise_trans=0.1)
+    builder = backend.PoseGraphBuilder(max_nodes=32, max_edges=64)
+    for p in drifted:
+        builder.add_node(p)
+    for i, r in enumerate(rels):
+        builder.add_odometry_edge(i, r)
+    # unary prior implemented as an edge from the anchor with the GT relative
+    builder.add_edge(0, 19, np.linalg.inv(gt[0]) @ gt[19], np.full(6, 100.0))
+    graph = builder.to_device(jnp.float64)
+    out = backend.optimize(graph, backend.PGOConfig(max_iterations=15))
+    np.testing.assert_allclose(
+        np.asarray(out.poses[19, :3, 3]), gt[19, :3, 3], atol=0.05
+    )
+
+
+def test_edge_residual_definition():
+    # residual must be log(Z^-1 Xi^-1 Xj) — zero iff measurement matches
+    builder = backend.PoseGraphBuilder(max_nodes=4, max_edges=4)
+    a = np.eye(4)
+    b = np.asarray(se3.exp(jnp.asarray([1.0, 0.5, 0.0, 0.0, 0.0, 0.3])))
+    builder.add_node(a)
+    builder.add_node(b)
+    builder.add_edge(0, 1, np.linalg.inv(a) @ b)
+    graph = builder.to_device(jnp.float64)
+    res = np.asarray(backend.edge_residuals(graph, graph.poses))[0]
+    np.testing.assert_allclose(res, 0.0, atol=1e-10)
+
+
+def test_capacity_overflow_raises():
+    builder = backend.PoseGraphBuilder(max_nodes=2, max_edges=2)
+    for _ in range(3):
+        builder.add_node(np.eye(4))
+    with pytest.raises(ValueError, match="capacity"):
+        builder.to_device()

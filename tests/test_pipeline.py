@@ -1,0 +1,147 @@
+"""Full-pipeline integration tests: SLAM + loop closure + backend + runner."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pwclonet_pylidarslam_tpu.core.registration import BEVConfig
+from pwclonet_pylidarslam_tpu.data.synthetic import (
+    SyntheticSequenceConfig,
+    generate_sequence,
+)
+from pwclonet_pylidarslam_tpu.evaluation import metrics
+from pwclonet_pylidarslam_tpu.evaluation.results import (
+    OdometryResults,
+    build_benchmark_md,
+    read_metrics_yaml,
+    read_poses_txt,
+)
+from pwclonet_pylidarslam_tpu.slam.icp_odometry import ICPConfig
+from pwclonet_pylidarslam_tpu.slam.loop_closure import LoopClosureConfig
+from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
+from pwclonet_pylidarslam_tpu.slam.runner import SLAMRunner, SLAMRunnerConfig
+
+
+@pytest.fixture(scope="module")
+def short_sequence():
+    return generate_sequence(
+        SyntheticSequenceConfig(n_frames=10, trajectory="curve", speed=1.0, seed=3)
+    )
+
+
+class _Source:
+    def __init__(self, scans, gt):
+        self.scans, self.gt = scans, gt
+
+    def __len__(self):
+        return len(self.scans)
+
+    def scan(self, idx):
+        return self.scans[idx]
+
+    def ground_truth(self):
+        return self.gt
+
+
+def test_slam_odometry_only(short_sequence):
+    scans, gt = short_sequence
+    slam = SLAM(SLAMConfig())
+    slam.init()
+    for s in scans:
+        slam.process_next_frame(s)
+    pred = slam.absolute_poses()
+    assert pred.shape == gt.shape
+    ate, _ = metrics.compute_ate(
+        metrics.compute_relative_poses(pred), metrics.compute_relative_poses(gt)
+    )
+    assert ate < 0.02
+
+
+def test_slam_with_backend_tracks_graph(short_sequence):
+    scans, gt = short_sequence
+    cfg = SLAMConfig(with_backend=True, backend_max_nodes=16, backend_max_edges=32)
+    slam = SLAM(cfg)
+    slam.init()
+    for s in scans:
+        slam.process_next_frame(s)
+    # graph nodes mirror the trajectory even without loop closures
+    assert len(slam.builder.poses) == len(scans)
+    assert len(slam.builder.edges) == len(scans) - 1
+    pred = slam.absolute_poses()
+    assert np.all(np.isfinite(pred))
+
+
+def test_runner_writes_results(tmp_path, short_sequence):
+    scans, gt = short_sequence
+    cfg = SLAMRunnerConfig(log_dir=str(tmp_path / "run"))
+    runner = SLAMRunner(cfg)
+    out = runner.run({"synth00": _Source(scans, gt)})
+    assert "synth00" in out
+    md = out["synth00"]
+    assert "ATE" in md and np.isfinite(md["ATE"])
+    # files on disk
+    poses = read_poses_txt(str(tmp_path / "run" / "synth00.poses.txt"))
+    assert poses.shape == (10, 4, 4)
+    ymetrics = read_metrics_yaml(str(tmp_path / "run" / "metrics.yaml"))
+    assert "synth00" in ymetrics
+    assert set(ymetrics["synth00"]) >= {"tr_err", "rot_err", "ATE", "STD_ATE", "ARE", "STD_ARE"}
+
+
+def test_runner_survives_failing_sequence(tmp_path, short_sequence):
+    scans, gt = short_sequence
+
+    class Broken(_Source):
+        def scan(self, idx):
+            raise RuntimeError("disk on fire")
+
+    runner = SLAMRunner(SLAMRunnerConfig(log_dir=str(tmp_path / "run")))
+    out = runner.run({"bad": Broken(scans, gt), "good": _Source(scans, gt)})
+    assert "bad" not in out
+    assert "good" in out
+    assert "disk on fire" in runner.failures["bad"]
+
+
+def test_benchmark_md(tmp_path, short_sequence):
+    scans, gt = short_sequence
+    for run in ("run_a", "run_b"):
+        runner = SLAMRunner(SLAMRunnerConfig(log_dir=str(tmp_path / run)))
+        runner.run({"s0": _Source(scans, gt)})
+    rows = build_benchmark_md(
+        [str(tmp_path / "run_a"), str(tmp_path / "run_b")],
+        str(tmp_path / "bench.md"),
+    )
+    assert len(rows) == 2
+    content = open(tmp_path / "bench.md").read()
+    assert "avg t_rel" in content and "run_a" in content
+
+
+@pytest.mark.slow
+def test_slam_loop_closure_backend_full(tmp_path):
+    """Full stack on a closed-loop trajectory: the backend must reduce final
+    drift once the loop closure fires."""
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(
+            n_frames=40, trajectory="there_and_back", speed=1.6, seed=5
+        )
+    )
+    lc_cfg = LoopClosureConfig(
+        submap_size=6, overlap=2, min_id_distance=20, max_distance=30.0,
+        points_per_frame=1024, submap_points=4096,
+        bev=BEVConfig(pixel_size=0.5, image_size=192),
+        min_confidence=1.2, max_icp_rmse=1.0,
+    )
+    cfg = SLAMConfig(
+        odometry=ICPConfig(initial_assoc_distance=8.0),  # reversal frame jump
+        with_loop_closure=True, loop_closure=lc_cfg,
+        with_backend=True, backend_max_nodes=64, backend_max_edges=128,
+    )
+    slam = SLAM(cfg)
+    slam.init()
+    for s in scans:
+        slam.process_next_frame(s)
+    pred = slam.absolute_poses()
+    assert np.all(np.isfinite(pred))
+    # trajectory still tracks ground truth
+    err = np.linalg.norm(pred[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert err.max() < 2.0
