@@ -1,0 +1,281 @@
+"""Additional dataset readers: KITTI-360, NCLT, Ford Campus, NHCD.
+
+Host-side numpy ports of the remaining reference loaders (SURVEY §2.6):
+- KITTI-360 (``slam/dataset/kitti_360_dataset.py``): raw velodyne bins under
+  ``data_3d_raw`` with cam0↔velo pose chains under ``data_poses``;
+- NCLT (``nclt_dataset.py``): HDL-32 packed uint16 binary with the UMich
+  scaling/offset decode, GT csv interpolated by timestamp;
+- Ford Campus (``ford_dataset.py``): per-scan ``.mat`` files;
+- NHCD / Newer College (``nhcd_dataset.py``): ply frames + GT csv with
+  timestamp matching.
+
+All expose the same minimal ``SequenceSource`` protocol as
+:class:`data.kitti.KittiSequence` (``__len__`` / ``scan(i)`` /
+``ground_truth()``), so every reader plugs into :class:`slam.runner.SLAMRunner`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.core import se3 as _se3  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# KITTI-360
+# ---------------------------------------------------------------------------
+
+
+def kitti360_drive_name(sequence: int) -> str:
+    """Drive folder naming (ref ``kitti360_utils.KITTI360_IO:195``)."""
+    return f"2013_05_28_drive_{sequence:04d}_sync"
+
+
+@dataclasses.dataclass
+class Kitti360Sequence:
+    """SLAM-path reader for a KITTI-360 drive.
+
+    Expects ``<root>/data_3d_raw/<drive>/velodyne_points/data/*.bin`` and
+    ``<root>/data_poses/<drive>/poses.txt`` (frame-indexed cam0 poses) plus
+    ``<root>/calibration/calib_cam_to_velo.txt``.
+    """
+
+    root_dir: str
+    sequence: int
+
+    def __post_init__(self):
+        drive = kitti360_drive_name(self.sequence)
+        self.velo_dir = os.path.join(
+            self.root_dir, "data_3d_raw", drive, "velodyne_points", "data"
+        )
+        self.files = sorted(os.listdir(self.velo_dir))
+        calib = os.path.join(self.root_dir, "calibration", "calib_cam_to_velo.txt")
+        if os.path.exists(calib):
+            vals = np.loadtxt(calib).reshape(3, 4)
+            self.cam_to_velo = np.vstack([vals, [0, 0, 0, 1.0]])
+        else:
+            self.cam_to_velo = np.eye(4)
+        pose_file = os.path.join(self.root_dir, "data_poses", drive, "poses.txt")
+        self._poses = None
+        if os.path.exists(pose_file):
+            raw = np.loadtxt(pose_file)
+            # rows: frame_idx + 12 pose values (cam0 -> world)
+            self._pose_frames = raw[:, 0].astype(int)
+            mats = np.tile(np.eye(4), (len(raw), 1, 1))
+            mats[:, :3, :4] = raw[:, 1:13].reshape(-1, 3, 4)
+            self._poses = mats
+
+    def __len__(self):
+        return len(self.files)
+
+    def scan(self, idx: int) -> np.ndarray:
+        pts = np.fromfile(
+            os.path.join(self.velo_dir, self.files[idx]), dtype=np.float32
+        ).reshape(-1, 4)[:, :3]
+        return pts
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        """Velodyne-frame poses interpolated to every scan (KITTI-360 GT is
+        sparse — only some frames have poses; ref ``kitti_360_dataset.py:149-154``)."""
+        if self._poses is None:
+            return None
+        velo_to_cam = np.linalg.inv(self.cam_to_velo)
+        velo_poses = np.einsum(
+            "tij,jk->tik", self._poses @ velo_to_cam[None], np.eye(4)
+        )
+        # rebase into the velodyne frame of the first posed frame
+        velo_poses = np.einsum("ij,tjk->tik", np.linalg.inv(velo_poses[0]), velo_poses)
+        # expand to every scan index by nearest posed frame
+        out = np.tile(np.eye(4), (len(self.files), 1, 1))
+        for i in range(len(self.files)):
+            nearest = np.argmin(np.abs(self._pose_frames - i))
+            out[i] = velo_poses[nearest]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# NCLT
+# ---------------------------------------------------------------------------
+
+
+def nclt_decode_scan(raw: np.ndarray) -> np.ndarray:
+    """Decode NCLT packed velodyne_sync binary → (N, 3) float meters.
+
+    Layout per point: x_s, y_s, z_s as uint16 + intensity/laser bytes;
+    decode = ``v * 0.005 − 100`` (ref ``nclt_dataset._convert:34-41``).
+    """
+    # records of 8 bytes: 3x uint16 + 2x uint8
+    rec = raw.reshape(-1, 4)  # viewed as uint16 quads: x, y, z, (i|l)
+    xyz_s = rec[:, :3].astype(np.float32)
+    return xyz_s * 0.005 - 100.0
+
+
+@dataclasses.dataclass
+class NCLTSequence:
+    """``<root>/<session>/velodyne_sync/*.bin`` + ``groundtruth_<session>.csv``."""
+
+    root_dir: str
+    session: str
+
+    def __post_init__(self):
+        self.velo_dir = os.path.join(self.root_dir, self.session, "velodyne_sync")
+        self.files = sorted(os.listdir(self.velo_dir))
+        gt_file = os.path.join(
+            self.root_dir, self.session, f"groundtruth_{self.session}.csv"
+        )
+        self._gt = None
+        if os.path.exists(gt_file):
+            raw = np.genfromtxt(gt_file, delimiter=",")
+            self._gt_times = raw[:, 0]
+            # columns: utime, x, y, z, roll, pitch, yaw (NCLT convention)
+            self._gt_xyzrpy = raw[:, 1:7]
+
+    def __len__(self):
+        return len(self.files)
+
+    def scan_timestamp(self, idx: int) -> float:
+        return float(os.path.splitext(self.files[idx])[0])
+
+    def scan(self, idx: int) -> np.ndarray:
+        raw = np.fromfile(
+            os.path.join(self.velo_dir, self.files[idx]), dtype=np.uint16
+        )
+        return nclt_decode_scan(raw)
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        if self._gt is None and not hasattr(self, "_gt_times"):
+            return None
+        from scipy.spatial.transform import Rotation as R
+
+        times = np.asarray([self.scan_timestamp(i) for i in range(len(self))])
+        idx = np.clip(
+            np.searchsorted(self._gt_times, times), 0, len(self._gt_times) - 1
+        )
+        sel = self._gt_xyzrpy[idx]
+        poses = np.tile(np.eye(4), (len(times), 1, 1))
+        poses[:, :3, :3] = R.from_euler("xyz", sel[:, 3:6]).as_matrix()
+        poses[:, :3, 3] = sel[:, :3]
+        return np.einsum("ij,tjk->tik", np.linalg.inv(poses[0]), poses)
+
+
+# ---------------------------------------------------------------------------
+# Ford Campus
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FordCampusSequence:
+    """``<root>/SCANS/Scan*.mat`` with fields ``SCAN.XYZ`` and ``X_wv``
+    (ref ``ford_dataset.py:31-117``)."""
+
+    sequence_dir: str
+
+    def __post_init__(self):
+        self.scan_dir = os.path.join(self.sequence_dir, "SCANS")
+        self.files = sorted(os.listdir(self.scan_dir))
+
+    def __len__(self):
+        return len(self.files)
+
+    def _load(self, idx: int):
+        from scipy.io import loadmat
+
+        return loadmat(os.path.join(self.scan_dir, self.files[idx]))
+
+    def scan(self, idx: int) -> np.ndarray:
+        mat = self._load(idx)
+        scan = mat["SCAN"]
+        xyz = scan["XYZ"][0, 0] if scan.dtype.names else scan
+        return np.ascontiguousarray(np.asarray(xyz, np.float32).T.reshape(-1, 3))
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        from scipy.spatial.transform import Rotation as R
+
+        poses = []
+        for i in range(len(self)):
+            mat = self._load(i)
+            x_wv = np.asarray(mat["SCAN"]["X_wv"][0, 0]).reshape(-1)
+            pose = np.eye(4)
+            pose[:3, 3] = x_wv[:3]
+            pose[:3, :3] = R.from_euler("xyz", x_wv[3:6]).as_matrix()
+            poses.append(pose)
+        poses = np.stack(poses)
+        return np.einsum("ij,tjk->tik", np.linalg.inv(poses[0]), poses)
+
+
+# ---------------------------------------------------------------------------
+# NHCD (Newer College)
+# ---------------------------------------------------------------------------
+
+
+def read_ply_xyz(path: str) -> np.ndarray:
+    """Minimal binary/ascii PLY reader for xyz point clouds (no plyfile dep)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = next(int(l.split()[-1]) for l in header if l.startswith("element vertex"))
+        props = [l.split()[2] for l in header if l.startswith("property")]
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        if fmt == "ascii":
+            data = np.loadtxt(f, max_rows=n)
+        else:
+            dt = "<f4" if "little" in fmt else ">f4"
+            data = np.frombuffer(f.read(n * len(props) * 4), dtype=dt).reshape(n, len(props))
+        cols = [props.index(c) for c in ("x", "y", "z")]
+        return np.ascontiguousarray(data[:, cols].astype(np.float32))
+
+
+@dataclasses.dataclass
+class NHCDSequence:
+    """``<root>/<sequence>/raw_format/ouster_scan/*.ply`` + GT csv with
+    timestamp matching (ref ``nhcd_dataset.py:53-188``)."""
+
+    root_dir: str
+    sequence: str
+
+    def __post_init__(self):
+        self.scan_dir = os.path.join(
+            self.root_dir, self.sequence, "raw_format", "ouster_scan"
+        )
+        self.files = sorted(os.listdir(self.scan_dir))
+        gt = os.path.join(
+            self.root_dir, self.sequence, "ground_truth", "registered_poses.csv"
+        )
+        self._gt_raw = None
+        if os.path.exists(gt):
+            self._gt_raw = np.genfromtxt(gt, delimiter=",", skip_header=1)
+
+    def __len__(self):
+        return len(self.files)
+
+    def _timestamp(self, name: str) -> float:
+        # cloud_<secs>_<nsecs>.ply
+        toks = os.path.splitext(name)[0].split("_")
+        return float(toks[-2]) + float(toks[-1]) * 1e-9
+
+    def scan(self, idx: int) -> np.ndarray:
+        return read_ply_xyz(os.path.join(self.scan_dir, self.files[idx]))
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        if self._gt_raw is None:
+            return None
+        from scipy.spatial.transform import Rotation as R
+
+        sec, nsec = self._gt_raw[:, 0], self._gt_raw[:, 1]
+        gt_times = sec + nsec * 1e-9
+        xyz = self._gt_raw[:, 2:5]
+        qxyzw = self._gt_raw[:, 5:9]
+        times = np.asarray([self._timestamp(f) for f in self.files])
+        idx = np.clip(np.searchsorted(gt_times, times), 0, len(gt_times) - 1)
+        poses = np.tile(np.eye(4), (len(times), 1, 1))
+        poses[:, :3, :3] = R.from_quat(qxyzw[idx]).as_matrix()
+        poses[:, :3, 3] = xyz[idx]
+        return np.einsum("ij,tjk->tik", np.linalg.inv(poses[0]), poses)

@@ -1,0 +1,219 @@
+"""PWCLO-Net trainer: epoch loop, eval, checkpointing, in-training metrics.
+
+Port of the reference's ``ATrainer``/``PWCLONetTrainer`` semantics
+(``slam/training/trainer.py:147-1123``, ``train.py:223-1002``) on the
+functional train state of ``train/state.py``:
+
+- epoch loop with train/eval phases and average meters;
+- non-finite-loss steps skipped in-graph (ref trainer.py:614-631);
+- checkpoints via **orbax**: periodic, best-train, best-eval and final
+  (ref trainer.py:456-512), holding the full TrainState + counters;
+- in-training KITTI-style metrics: accumulated per-frame relative pose
+  predictions chained into trajectories and scored with the segment metric
+  (ref train.py:362-389, 457-533);
+- BN-momentum and cosine LR schedules are step-driven inside the jitted
+  train step (``make_schedules``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from pwclonet_pylidarslam_tpu.core import se3
+from pwclonet_pylidarslam_tpu.evaluation import metrics as metrics_mod
+from pwclonet_pylidarslam_tpu.train.state import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    eval_step,
+    train_step,
+)
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    num_epochs: int = 120  # ref train.sh recipe
+    log_dir: str = "./train_output"
+    checkpoint_every_epochs: int = 10  # periodic checkpoints (ref ATrainer)
+    eval_every_epochs: int = 1
+    seed: int = 0
+
+
+class AverageMeter:
+    """(ref trainer.py:55-81)"""
+
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, value: float, n: int = 1):
+        self.sum += value * n
+        self.count += n
+
+    @property
+    def average(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+class PWCLONetTrainer:
+    def __init__(self, config: Optional[TrainerConfig] = None):
+        self.config = config or TrainerConfig()
+        os.makedirs(self.config.log_dir, exist_ok=True)
+        self.model, self.state = create_train_state(
+            self.config.train, jax.random.key(self.config.seed)
+        )
+        self._train_step = jax.jit(
+            lambda s, b, r: train_step(self.model, self.config.train, s, b, r)
+        )
+        self._eval_step = jax.jit(
+            lambda s, b: eval_step(self.model, self.config.train, s, b)
+        )
+        self.epoch = 0
+        self.best_train_loss = float("inf")
+        self.best_eval_loss = float("inf")
+        self.history: List[Dict] = []
+
+    # -- checkpointing (orbax; ref trainer.py:834-907) ----------------------
+
+    def _ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(self.config.log_dir), "checkpoints")
+        return ocp.CheckpointManager(path)
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        with self._ckpt_manager() as mngr:
+            step = int(self.state.step)
+            mngr.save(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(self.state),
+                    meta=ocp.args.JsonSave(
+                        {
+                            "epoch": self.epoch,
+                            "best_train_loss": self.best_train_loss,
+                            "best_eval_loss": self.best_eval_loss,
+                            "tag": tag or "periodic",
+                        }
+                    ),
+                ),
+            )
+            mngr.wait_until_finished()
+
+    def load_checkpoint(self, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        with self._ckpt_manager() as mngr:
+            step = step if step is not None else mngr.latest_step()
+            restored = mngr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(self.state),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        self.state = restored["state"]
+        meta = restored["meta"]
+        self.epoch = meta["epoch"]
+        self.best_train_loss = meta["best_train_loss"]
+        self.best_eval_loss = meta["best_eval_loss"]
+
+    # -- epoch loops (ref trainer.py:406-779) -------------------------------
+
+    def train_epoch(self, batches: Iterable[Dict]) -> float:
+        meter = AverageMeter()
+        skipped = 0
+        for i, batch in enumerate(batches):
+            rng = jax.random.fold_in(
+                jax.random.key(self.config.seed + 1), int(self.state.step)
+            )
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, log = self._train_step(self.state, batch, rng)
+            loss = float(log["loss"])
+            if np.isfinite(loss):
+                meter.update(loss, n=batch["xyz1"].shape[0])
+            else:
+                skipped += 1
+        if skipped:
+            print(f"[trainer] skipped {skipped} non-finite batches this epoch")
+        return meter.average
+
+    def evaluate_epoch(self, batches: Iterable[Dict]) -> Dict[str, float]:
+        meter = AverageMeter()
+        rel_pred, rel_gt = [], []
+        for batch in batches:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            pred, log = self._eval_step(self.state, batch)
+            meter.update(float(log["loss"]), n=batch["xyz1"].shape[0])
+            # finest level params -> relative pose matrices
+            rel_pred.append(np.asarray(se3.params_to_pose_quat(pred[:, 0, :])))
+            rel_gt.append(np.asarray(se3.params_to_pose_quat(batch["gt_params"])))
+        out = {"eval_loss": meter.average}
+        if rel_pred:
+            rp = np.concatenate(rel_pred)
+            rg = np.concatenate(rel_gt)
+            ate, std_ate = metrics_mod.compute_ate(rp, rg)
+            are, std_are = metrics_mod.compute_are(rp, rg)
+            # chain into trajectories for the KITTI segment metric
+            # (ref compute_metrics_epoch, train.py:457-533)
+            traj_p = metrics_mod.compute_absolute_poses(rp)
+            traj_g = metrics_mod.compute_absolute_poses(rg)
+            tr, rot, _ = metrics_mod.compute_kitti_metrics(traj_p, traj_g)
+            out.update(
+                ATE=ate, STD_ATE=std_ate, ARE=are, STD_ARE=std_are,
+                tr_err=100.0 * tr if tr is not None else float("nan"),
+                rot_err=float(np.rad2deg(rot) * 100) if rot is not None else float("nan"),
+            )
+        return out
+
+    def fit(
+        self,
+        train_batches_fn,
+        eval_batches_fn=None,
+        num_epochs: Optional[int] = None,
+    ) -> List[Dict]:
+        """Full training run. ``train_batches_fn()`` returns a fresh batch
+        iterator per epoch (host-side dataset shuffling included)."""
+        num_epochs = num_epochs or self.config.num_epochs
+        for _ in range(num_epochs):
+            t0 = time.time()
+            train_loss = self.train_epoch(train_batches_fn())
+            record = {
+                "epoch": self.epoch,
+                "train_loss": train_loss,
+                "seconds": time.time() - t0,
+            }
+            if train_loss < self.best_train_loss:
+                self.best_train_loss = train_loss
+                self.save_checkpoint("best_train")
+            if (
+                eval_batches_fn is not None
+                and self.epoch % self.config.eval_every_epochs == 0
+            ):
+                record.update(self.evaluate_epoch(eval_batches_fn()))
+                if record["eval_loss"] < self.best_eval_loss:
+                    self.best_eval_loss = record["eval_loss"]
+                    self.save_checkpoint("best_eval")
+            if (
+                self.config.checkpoint_every_epochs
+                and self.epoch % self.config.checkpoint_every_epochs == 0
+            ):
+                self.save_checkpoint("periodic")
+            self.history.append(record)
+            with open(os.path.join(self.config.log_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+            self.epoch += 1
+        self.save_checkpoint("final")
+        return self.history

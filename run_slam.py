@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Run SLAM over dataset sequences (replacement for the reference's ``run.py``).
+
+Usage::
+
+    python run_slam.py dataset=kitti dataset.root_dir=/data/kitti \
+        sequences=[0,1] slam.with_loop_closure=true log_dir=./out
+
+    python run_slam.py dataset=synthetic sequences=[0] log_dir=./out
+
+Config is plain ``key.path=value`` overrides (Hydra-CLI style) over the
+dataclasses in ``slam/pipeline.py`` / ``slam/runner.py``; the resolved config
+and git hash are persisted into the run directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class RunConfig:
+    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | nclt | ford | nhcd
+    root_dir: str = ""
+    sequences: str = "0"  # comma-separated
+    log_dir: str = "./slam_output"
+    max_frames: int = 0  # 0 = all
+    with_loop_closure: bool = False
+    with_backend: bool = False
+    num_points: int = 8192
+    synthetic_frames: int = 60
+    synthetic_trajectory: str = "curve"
+
+
+def build_sources(config: RunConfig):
+    seqs = [s for s in str(config.sequences).strip("[]").split(",") if s != ""]
+    sources = {}
+    if config.dataset == "synthetic":
+        from pwclonet_pylidarslam_tpu.data.synthetic import (
+            SyntheticSequenceConfig,
+            generate_sequence,
+        )
+
+        for s in seqs:
+            scans, gt = generate_sequence(
+                SyntheticSequenceConfig(
+                    n_frames=config.synthetic_frames,
+                    trajectory=config.synthetic_trajectory,
+                    seed=int(s),
+                    num_points=config.num_points,
+                )
+            )
+
+            class _Source:
+                def __init__(self, scans, gt):
+                    self.scans, self.gt = scans, gt
+
+                def __len__(self):
+                    return len(self.scans)
+
+                def scan(self, idx):
+                    return self.scans[idx]
+
+                def ground_truth(self):
+                    return self.gt
+
+            sources[f"synth{int(s):02d}"] = _Source(scans, gt)
+    elif config.dataset == "kitti":
+        from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+        for s in seqs:
+            sources[f"{int(s):02d}"] = KittiSequence(config.root_dir, int(s))
+    else:
+        raise SystemExit(f"unknown dataset {config.dataset!r}")
+    return sources
+
+
+def main(argv: Optional[List[str]] = None):
+    from pwclonet_pylidarslam_tpu.slam.pipeline import SLAMConfig
+    from pwclonet_pylidarslam_tpu.slam.runner import SLAMRunner, SLAMRunnerConfig
+    from pwclonet_pylidarslam_tpu.utils.config import (
+        apply_overrides,
+        dump_config,
+        from_dict,
+    )
+
+    argv = argv if argv is not None else sys.argv[1:]
+    data = apply_overrides({}, [a for a in argv if "=" in a])
+    config = from_dict(RunConfig, data)
+
+    slam_cfg = SLAMConfig(
+        with_loop_closure=config.with_loop_closure,
+        with_backend=config.with_backend,
+    )
+    runner_cfg = SLAMRunnerConfig(
+        slam=slam_cfg,
+        log_dir=config.log_dir,
+        max_frames=config.max_frames or None,
+    )
+    runner = SLAMRunner(runner_cfg)
+    dump_config(config, f"{config.log_dir}/config.yaml") if _ensure_dir(config.log_dir) else None
+
+    results = runner.run(build_sources(config))
+    for name, md in results.items():
+        if md:
+            print(
+                f"{name}: t_rel={md.get('tr_err', float('nan')):.4f}% "
+                f"ATE={md['ATE']:.4f} m"
+            )
+    if runner.failures:
+        print(f"FAILED sequences: {list(runner.failures)}")
+        return 1
+    return 0
+
+
+def _ensure_dir(d):
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    return True
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Train/test the deep odometry networks (replacement for the reference's
+``train.py``).
+
+Usage::
+
+    # train PWCLO-Net on KITTI 00-06, eval 07-10 (the reference recipe)
+    python train_net.py do_train=true dataset=kitti root_dir=/data/kitti \
+        train_sequences=0,1,2,3,4,5,6 eval_sequences=7,8,9,10 \
+        num_epochs=120 batch_size=8 log_dir=./train_out
+
+    # smoke-train on synthetic pairs (no dataset needed)
+    python train_net.py do_train=true dataset=synthetic num_epochs=2 \
+        batch_size=2 num_points=256 log_dir=./train_out
+
+    # test: run odometry over sequences with a trained checkpoint
+    python train_net.py do_test=true dataset=kitti root_dir=/data/kitti \
+        test_sequences=9,10 log_dir=./train_out
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Config:
+    do_train: bool = False
+    do_test: bool = False
+    dataset: str = "synthetic"  # synthetic | kitti
+    root_dir: str = ""
+    train_sequences: str = "0,1,2,3,4,5,6"
+    eval_sequences: str = "7,8,9,10"
+    test_sequences: str = "9,10"
+    num_epochs: int = 120
+    batch_size: int = 8
+    num_points: int = 8192
+    learning_rate: float = 1e-3
+    log_dir: str = "./train_output"
+    augment: bool = True
+    seed: int = 0
+    # synthetic smoke-training shape knobs
+    synthetic_batches: int = 8
+
+
+def _seqs(s: str) -> List[int]:
+    return [int(x) for x in str(s).strip("[]").split(",") if x != ""]
+
+
+def make_batch_fns(config: Config, model_cfg):
+    if config.dataset == "synthetic":
+        from pwclonet_pylidarslam_tpu.core import se3
+        import jax.numpy as jnp
+
+        def gen(seed):
+            r = np.random.default_rng(seed)
+            out = []
+            for _ in range(config.synthetic_batches):
+                pts1 = r.normal(size=(config.batch_size, config.num_points, 3)).astype(np.float32) * 8
+                tw = (r.normal(size=(config.batch_size, 6)) * 0.05).astype(np.float32)
+                T = se3.exp(jnp.asarray(tw))
+                pts2 = np.asarray(se3.transform(T, jnp.asarray(pts1)))
+                gt = np.asarray(se3.pose_to_params_quat(T)).astype(np.float32)
+                out.append({"xyz1": pts1, "xyz2": pts2, "gt_params": gt})
+            return out
+
+        train_data = gen(config.seed)
+        eval_data = gen(config.seed + 1)
+        return (lambda: iter(train_data)), (lambda: iter(eval_data))
+
+    from pwclonet_pylidarslam_tpu.data.kitti import KittiPairDataset
+
+    train_ds = KittiPairDataset(
+        config.root_dir, _seqs(config.train_sequences),
+        num_points=config.num_points, augment=config.augment, seed=config.seed,
+    )
+    eval_ds = KittiPairDataset(
+        config.root_dir, _seqs(config.eval_sequences),
+        num_points=config.num_points, augment=False, seed=config.seed + 1,
+    )
+    return (
+        lambda: train_ds.batches(config.batch_size, shuffle=True),
+        lambda: eval_ds.batches(config.batch_size, shuffle=False),
+    )
+
+
+def run_train(config: Config) -> int:
+    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
+    from pwclonet_pylidarslam_tpu.train.state import TrainConfig
+    from pwclonet_pylidarslam_tpu.train.trainer import PWCLONetTrainer, TrainerConfig
+    from pwclonet_pylidarslam_tpu.utils.config import dump_config
+
+    if config.num_points >= 2048:
+        model_cfg = PWCLONetConfig(num_points=config.num_points)
+    else:  # scaled-down pyramid for smoke runs
+        n = config.num_points
+        model_cfg = PWCLONetConfig(
+            num_points=n,
+            sa_npoints=(n // 4, n // 8, n // 16, n // 32),
+            sa_nsamples=(8, 8, 8, 4),
+        )
+    trainer_cfg = TrainerConfig(
+        train=TrainConfig(model=model_cfg, learning_rate=config.learning_rate),
+        num_epochs=config.num_epochs,
+        log_dir=config.log_dir,
+        seed=config.seed,
+    )
+    trainer = PWCLONetTrainer(trainer_cfg)
+    dump_config(config, f"{config.log_dir}/config.yaml")
+    train_fn, eval_fn = make_batch_fns(config, model_cfg)
+    history = trainer.fit(train_fn, eval_fn)
+    last = history[-1]
+    print(
+        f"done: epoch {last['epoch']} train_loss={last['train_loss']:.4f} "
+        f"eval_loss={last.get('eval_loss', float('nan')):.4f}"
+    )
+    return 0
+
+
+def run_test(config: Config) -> int:
+    """Test a trained model: PWCLO-Net odometry over sequences + KITTI eval
+    (ref train.py:798-1002)."""
+    import jax
+
+    from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
+    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
+    from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+        DeepOdometryConfig,
+        PWCLONetOdometry,
+    )
+    from pwclonet_pylidarslam_tpu.train.state import TrainConfig
+    from pwclonet_pylidarslam_tpu.train.trainer import PWCLONetTrainer, TrainerConfig
+
+    trainer = PWCLONetTrainer(
+        TrainerConfig(
+            train=TrainConfig(model=PWCLONetConfig(num_points=config.num_points)),
+            log_dir=config.log_dir,
+        )
+    )
+    trainer.load_checkpoint()
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    odo = PWCLONetOdometry(
+        variables, DeepOdometryConfig(model=trainer.config.train.model,
+                                      num_points=config.num_points)
+    )
+    results = OdometryResults(f"{config.log_dir}/test")
+    from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+    for s in _seqs(config.test_sequences):
+        seq = KittiSequence(config.root_dir, s)
+        odo.init()
+        for i in range(len(seq)):
+            odo.process_next_frame(seq.scan(i))
+        md = results.add_sequence(f"{s:02d}", odo.absolute_poses(), seq.ground_truth())
+        if md:
+            print(f"seq {s:02d}: t_rel={md['tr_err']:.4f}% ATE={md['ATE']:.4f}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None):
+    from pwclonet_pylidarslam_tpu.utils.config import apply_overrides, from_dict
+
+    argv = argv if argv is not None else sys.argv[1:]
+    config = from_dict(Config, apply_overrides({}, [a for a in argv if "=" in a]))
+    import os
+
+    os.makedirs(config.log_dir, exist_ok=True)
+    if config.do_train:
+        return run_train(config)
+    if config.do_test:
+        return run_test(config)
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
