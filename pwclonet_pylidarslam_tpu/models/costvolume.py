@@ -28,13 +28,14 @@ class CostVolume(nn.Module):
     nsample_q: int = 32  # cross-frame neighborhood
     mlp1: Sequence[int] = (128, 64, 64)
     mlp2: Sequence[int] = (128, 64)
+    approx_knn: bool = True
 
     @nn.compact
     def __call__(self, xyz1, feat1, xyz2, feat2, train: bool, bn_momentum=0.1):
         """``xyz1/feat1 (B,S,3)/(B,S,C1)`` (warped F1), ``xyz2/feat2`` (F2)
         → flow embedding ``(B, S, mlp2[-1])``."""
         # ---- first (cross-frame) attentive aggregate
-        _, idx_q = ops.knn(xyz1, xyz2, self.nsample_q)
+        _, idx_q = ops.knn(xyz1, xyz2, self.nsample_q, approx=self.approx_knn)
         q_xyz = ops.group_points(xyz2, idx_q)  # (B, S, Kq, 3)
         q_feat = ops.group_points(feat2, idx_q)  # (B, S, Kq, C2)
         enc = spatial_encoding(xyz1, q_xyz)  # (B, S, Kq, 10)
@@ -53,7 +54,7 @@ class CostVolume(nn.Module):
         first = jnp.sum(wq * emb, axis=-2)  # (B, S, mlp1[-1])
 
         # ---- second (self) attentive aggregate
-        _, idx_s = ops.knn(xyz1, xyz1, self.nsample)
+        _, idx_s = ops.knn(xyz1, xyz1, self.nsample, approx=self.approx_knn)
         s_xyz = ops.group_points(xyz1, idx_s)  # (B, S, Ks, 3)
         s_emb = ops.group_points(first, idx_s)  # (B, S, Ks, mlp1[-1])
         enc_s = spatial_encoding(xyz1, s_xyz)

@@ -28,12 +28,13 @@ class SetConv(nn.Module):
     npoint: int
     nsample: int
     mlp: Sequence[int]
+    approx_knn: bool = True  # lax.approx_min_k on TPU (≥98% recall, ~free)
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, bn_momentum=0.1):
         idx = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, idx)  # (B, npoint, 3)
-        _, nn_idx = ops.knn(new_xyz, xyz, self.nsample)
+        _, nn_idx = ops.knn(new_xyz, xyz, self.nsample, approx=self.approx_knn)
         grouped_xyz = ops.group_points(xyz, nn_idx)  # (B, npoint, K, 3)
         xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
         if features is not None:
@@ -60,10 +61,11 @@ class SetUpConv(nn.Module):
     nsample: int
     mlp: Sequence[int]
     post_mlp: Sequence[int]
+    approx_knn: bool = True
 
     @nn.compact
     def __call__(self, fine_xyz, coarse_xyz, fine_feat, coarse_feat, train: bool, bn_momentum=0.1):
-        _, nn_idx = ops.knn(fine_xyz, coarse_xyz, self.nsample)
+        _, nn_idx = ops.knn(fine_xyz, coarse_xyz, self.nsample, approx=self.approx_knn)
         grouped_feat = ops.group_points(coarse_feat, nn_idx)  # (B, Nf, K, Cc)
         grouped_xyz = ops.group_points(coarse_xyz, nn_idx)
         xyz_diff = grouped_xyz - fine_xyz[:, :, None, :]

@@ -27,18 +27,40 @@ import jax.numpy as jnp
 _PAD_NORM_SQ = 1e-3
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample(
     points: jax.Array,
     npoint: int,
     mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Iterative FPS over ``points (B, N, 3)`` → indices ``(B, npoint)`` int32.
 
     ``mask (B, N)``: 1 = selectable. Defaults to the reference's padding guard
     ``‖p‖² > 1e-3``. If fewer valid points than ``npoint`` exist, the
     remaining slots repeat already-selected points (fixed shapes, no error).
+
+    On TPU backends the Pallas kernel (``ops/pallas/fps_kernel.py``) runs the
+    whole sequential loop with VMEM-resident state (~5× faster than the HLO
+    while-loop); results are bit-identical (golden-tested).
     """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    if use_pallas:
+        from pwclonet_pylidarslam_tpu.ops.pallas.fps_kernel import (
+            furthest_point_sample_pallas,
+        )
+
+        return furthest_point_sample_pallas(points, npoint, mask)
+    return _furthest_point_sample_lax(points, npoint, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _furthest_point_sample_lax(
+    points: jax.Array,
+    npoint: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference implementation: ``lax.fori_loop`` + masked argmax."""
     b, n, _ = points.shape
     if mask is None:
         mask = (jnp.sum(points * points, axis=-1) > _PAD_NORM_SQ).astype(points.dtype)

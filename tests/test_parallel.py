@@ -1,0 +1,96 @@
+"""Parallel layer tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwclonet_pylidarslam_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+    shard_batch,
+)
+from pwclonet_pylidarslam_tpu.parallel.sharded_backend import optimize_sharded
+from pwclonet_pylidarslam_tpu.slam import backend
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=16, n_model=2)
+
+
+def test_data_parallel_step_matches_single_device():
+    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
+    from pwclonet_pylidarslam_tpu.train.state import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    cfg = TrainConfig(
+        model=PWCLONetConfig(
+            num_points=128, sa_npoints=(32, 16, 8, 4), sa_nsamples=(8, 8, 4, 4)
+        ),
+        total_steps=10,
+    )
+    model, state = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "xyz1": jnp.asarray(rng.normal(size=(8, 128, 3)).astype(np.float32) * 8),
+        "xyz2": jnp.asarray(rng.normal(size=(8, 128, 3)).astype(np.float32) * 8),
+        "gt_params": jnp.tile(
+            jnp.asarray([[0.1, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]], jnp.float32), (8, 1)
+        ),
+    }
+    # single device
+    s1, log1 = jax.jit(lambda s, b, r: train_step(model, cfg, s, b, r))(
+        state, batch, jax.random.key(1)
+    )
+    # 8-device data parallel
+    mesh = make_mesh()
+    step = make_parallel_train_step(model, cfg, mesh)
+    s8, log8 = step(replicate_state(state, mesh), shard_batch(batch, mesh),
+                    jax.random.key(1))
+    np.testing.assert_allclose(float(log1["loss"]), float(log8["loss"]), rtol=1e-4)
+    # parameters after the step agree (same data, same math, psum'd grads)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)  # psum reduction-order noise
+
+
+def _circle_graph(n=40, max_edges=64, dtype=jnp.float64):
+    from tests.test_backend import circle_poses, drifted_odometry
+
+    rng = np.random.default_rng(3)
+    gt = circle_poses(n)
+    drifted, rels = drifted_odometry(gt, rng)
+    builder = backend.PoseGraphBuilder(max_nodes=64, max_edges=max_edges)
+    for p in drifted:
+        builder.add_node(p)
+    for i, r in enumerate(rels):
+        builder.add_odometry_edge(i, r)
+    builder.edges.append(
+        (0, n - 1, np.linalg.inv(gt[0]) @ gt[n - 1], np.asarray(backend.LOOP_INFO))
+    )
+    return gt, builder.to_device(dtype)
+
+
+def test_sharded_pgo_matches_single_device():
+    gt, graph = _circle_graph()
+    cfg = backend.PGOConfig(max_iterations=10)
+    single = backend.optimize(graph, cfg)
+    mesh = make_mesh()
+    sharded = optimize_sharded(graph, mesh, cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses), np.asarray(single.poses), atol=1e-8
+    )
+
+
+def test_sharded_pgo_rejects_bad_capacity():
+    gt, graph = _circle_graph(max_edges=63)  # not divisible by 8
+    with pytest.raises(ValueError, match="divisible"):
+        optimize_sharded(graph, make_mesh())
