@@ -29,6 +29,7 @@ class CostVolume(nn.Module):
     mlp1: Sequence[int] = (128, 64, 64)
     mlp2: Sequence[int] = (128, 64)
     approx_knn: bool = True
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, xyz1, feat1, xyz2, feat2, train: bool, bn_momentum=0.1):
@@ -42,12 +43,12 @@ class CostVolume(nn.Module):
         p_feat = jnp.broadcast_to(
             feat1[:, :, None, :], q_feat.shape[:3] + (feat1.shape[-1],)
         )
-        emb = PointMLP(tuple(self.mlp1))(
+        emb = PointMLP(tuple(self.mlp1), dtype=self.dtype)(
             jnp.concatenate([enc, p_feat, q_feat], axis=-1),
             train=train, bn_momentum=bn_momentum,
         )  # (B, S, Kq, mlp1[-1])
-        enc1 = PointMLP((self.mlp1[-1],))(enc, train=train, bn_momentum=bn_momentum)
-        wq = PointMLP(tuple(self.mlp2))(
+        enc1 = PointMLP((self.mlp1[-1],), dtype=self.dtype)(enc, train=train, bn_momentum=bn_momentum)
+        wq = PointMLP(tuple(self.mlp2), dtype=self.dtype)(
             jnp.concatenate([enc1, emb], axis=-1), train=train, bn_momentum=bn_momentum
         )
         wq = jax.nn.softmax(wq, axis=-2)  # attention over the Kq neighbors
@@ -58,11 +59,11 @@ class CostVolume(nn.Module):
         s_xyz = ops.group_points(xyz1, idx_s)  # (B, S, Ks, 3)
         s_emb = ops.group_points(first, idx_s)  # (B, S, Ks, mlp1[-1])
         enc_s = spatial_encoding(xyz1, s_xyz)
-        enc2 = PointMLP((self.mlp1[-1],))(enc_s, train=train, bn_momentum=bn_momentum)
+        enc2 = PointMLP((self.mlp1[-1],), dtype=self.dtype)(enc_s, train=train, bn_momentum=bn_momentum)
         p_feat_s = jnp.broadcast_to(
             feat1[:, :, None, :], s_emb.shape[:3] + (feat1.shape[-1],)
         )
-        wp = PointMLP(tuple(self.mlp2))(
+        wp = PointMLP(tuple(self.mlp2), dtype=self.dtype)(
             jnp.concatenate([enc2, p_feat_s, s_emb], axis=-1),
             train=train, bn_momentum=bn_momentum,
         )

@@ -13,7 +13,7 @@ module, so we keep our own minimal implementation).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,19 +61,32 @@ class PointMLP(nn.Module):
 
     Equivalent to the reference ``SharedMLP`` (1×1 Conv2d + BN2d + ReLU with
     xavier init, ``pytorch_utils.py:52-113``), applied to ``(B, ..., C)``.
+
+    ``dtype=bfloat16`` runs the matmuls on the MXU in bf16 (params stay
+    f32; BatchNorm statistics are always computed in f32). Geometry stays in
+    f32 upstream — only neighborhood-scale values reach these layers, where
+    bf16's 8-bit mantissa is sufficient.
     """
 
     features: Sequence[int]
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (None = f32)
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=0.1):
         for f in self.features:
-            x = nn.Dense(f, use_bias=not self.use_bn, kernel_init=xavier_init)(x)
+            x = nn.Dense(
+                f, use_bias=not self.use_bn, kernel_init=xavier_init,
+                dtype=self.dtype,
+            )(x)
             if self.use_bn:
-                x = BatchNorm()(x, train=train, momentum=bn_momentum)
+                x = BatchNorm()(
+                    x.astype(jnp.float32), train=train, momentum=bn_momentum
+                )
+                if self.dtype is not None:
+                    x = x.astype(self.dtype)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class LinearHead(nn.Module):

@@ -37,11 +37,14 @@ class FlowPredictor(nn.Module):
     (ref ``flowpredictor.py:15-84``)."""
 
     mlp: Sequence[int] = (128, 64)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, *features, train: bool, bn_momentum=0.1):
         x = jnp.concatenate([f for f in features if f is not None], axis=-1)
-        return PointMLP(tuple(self.mlp))(x, train=train, bn_momentum=bn_momentum)
+        return PointMLP(tuple(self.mlp), dtype=self.dtype)(
+            x, train=train, bn_momentum=bn_momentum
+        )
 
 
 class PoseCalculator(nn.Module):
@@ -86,6 +89,7 @@ class PoseWarpRefinement(nn.Module):
     """
 
     last_level: bool = False  # finest level skips mask refinement (ref :71-76)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -95,23 +99,23 @@ class PoseWarpRefinement(nn.Module):
         q_coarse, t_coarse,
         train: bool, bn_momentum=0.1,
     ):
-        up_feat = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,))(
+        up_feat = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype)(
             xyz_f1, xyz_prev, feat_f1, feat_prev, train=train, bn_momentum=bn_momentum
         )
-        up_mask = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,))(
+        up_mask = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype)(
             xyz_f1, xyz_prev, feat_f1, mask_prev, train=train, bn_momentum=bn_momentum
         )
         warped = quat_warp(q_coarse, t_coarse, xyz_f1)
-        residual_emb = CostVolume(nsample=4, nsample_q=6)(
+        residual_emb = CostVolume(nsample=4, nsample_q=6, dtype=self.dtype)(
             warped, feat_f1, xyz_f2, feat_f2, train=train, bn_momentum=bn_momentum
         )
-        emb_feat = FlowPredictor()(
+        emb_feat = FlowPredictor(dtype=self.dtype)(
             feat_f1, residual_emb, up_feat, train=train, bn_momentum=bn_momentum
         )
         if self.last_level:
             emb_mask = up_mask
         else:
-            emb_mask = FlowPredictor()(
+            emb_mask = FlowPredictor(dtype=self.dtype)(
                 up_mask, emb_feat, feat_f1, train=train, bn_momentum=bn_momentum
             )
         w = jax.nn.softmax(emb_mask, axis=1)  # over N
@@ -135,6 +139,7 @@ class PWCLONetConfig:
         (64, 64, 128),
     )
     bn_momentum_init: float = 0.5  # scheduled by the trainer
+    compute_dtype: str = "float32"  # "bfloat16" puts the MLP matmuls on bf16
 
 
 class PWCLONet(nn.Module):
@@ -148,8 +153,9 @@ class PWCLONet(nn.Module):
     @nn.compact
     def __call__(self, xyz1, xyz2, train: bool = False, bn_momentum: float = 0.1):
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         sa = [
-            SetConv(cfg.sa_npoints[i], cfg.sa_nsamples[i], cfg.sa_mlps[i])
+            SetConv(cfg.sa_npoints[i], cfg.sa_nsamples[i], cfg.sa_mlps[i], dtype=dtype)
             for i in range(4)
         ]
 
@@ -164,28 +170,28 @@ class PWCLONet(nn.Module):
         (x2_1, p2_1), (x2_2, p2_2), (x2_3, p2_3), (x2_4, p2_4) = f2[1:]
 
         # attentive cost volume at level 3 + flow feature encoding → level 4
-        flow_emb = CostVolume(nsample=4, nsample_q=32)(
+        flow_emb = CostVolume(nsample=4, nsample_q=32, dtype=dtype)(
             x1_3, p1_3, x2_3, p2_3, train=train, bn_momentum=bn_momentum
         )
-        x1_4, emb4 = SetConv(cfg.sa_npoints[3], cfg.sa_nsamples[3], (128, 64, 64))(
+        x1_4, emb4 = SetConv(cfg.sa_npoints[3], cfg.sa_nsamples[3], (128, 64, 64), dtype=dtype)(
             x1_3, flow_emb, train=train, bn_momentum=bn_momentum
         )
 
         # level-4 embedding mask + coarse pose
-        mask4 = FlowPredictor()(p1_4, emb4, train=train, bn_momentum=bn_momentum)
+        mask4 = FlowPredictor(dtype=dtype)(p1_4, emb4, train=train, bn_momentum=bn_momentum)
         w4 = jax.nn.softmax(mask4, axis=1)
         q4, t4 = PoseCalculator()(emb4, w4, train=train)
 
         # cascaded warp-refinement: level 3 → 2 → 1
-        q3, t3, emb3, mask3 = PoseWarpRefinement()(
+        q3, t3, emb3, mask3 = PoseWarpRefinement(dtype=dtype)(
             x1_3, p1_3, x2_3, p2_3, x1_4, emb4, mask4, q4, t4,
             train=train, bn_momentum=bn_momentum,
         )
-        q2, t2, emb2, mask2 = PoseWarpRefinement()(
+        q2, t2, emb2, mask2 = PoseWarpRefinement(dtype=dtype)(
             x1_2, p1_2, x2_2, p2_2, x1_3, emb3, mask3, q3, t3,
             train=train, bn_momentum=bn_momentum,
         )
-        q1, t1, emb1, mask1 = PoseWarpRefinement(last_level=True)(
+        q1, t1, emb1, mask1 = PoseWarpRefinement(last_level=True, dtype=dtype)(
             x1_1, p1_1, x2_1, p2_1, x1_2, emb2, mask2, q2, t2,
             train=train, bn_momentum=bn_momentum,
         )
