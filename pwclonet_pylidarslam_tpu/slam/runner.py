@@ -36,6 +36,9 @@ class SLAMRunnerConfig:
     log_dir: str = "./slam_output"
     fail_on_error: bool = False
     max_frames: Optional[int] = None  # cap frames per sequence (debug)
+    # incremental persistence: partial trajectories survive crashes
+    # (ref odometry_runner.py:255-263 saves every ~100 m of travel)
+    save_every_frames: int = 500
 
 
 class SLAMRunner:
@@ -63,9 +66,21 @@ class SLAMRunner:
         n = len(source)
         if self.config.max_frames is not None:
             n = min(n, self.config.max_frames)
+        import os
+
+        from pwclonet_pylidarslam_tpu.evaluation.results import write_poses_txt
+
         t0 = time.perf_counter()
         for i in range(n):
             slam.process_next_frame(source.scan(i))
+            if (
+                self.config.save_every_frames
+                and (i + 1) % self.config.save_every_frames == 0
+            ):
+                write_poses_txt(
+                    os.path.join(self.config.log_dir, f"{name}.partial.poses.txt"),
+                    slam.absolute_poses(),
+                )
         elapsed = time.perf_counter() - t0
         predicted = slam.absolute_poses()
         gt = source.ground_truth()
