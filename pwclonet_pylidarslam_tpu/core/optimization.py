@@ -137,8 +137,9 @@ def gauss_newton(
         w = robust_weights(res, scheme, sigma, eps, match_distances)
         wres = res * w
         wjac = jac * w[..., None]
-        h = jnp.einsum("bnd,bne->bde", wjac, wjac)
-        g = jnp.einsum("bnd,bn->bd", wjac, wres)
+        hp = jax.lax.Precision.HIGHEST  # TPU f32 einsum defaults to bf16 passes
+        h = jnp.einsum("bnd,bne->bde", wjac, wjac, precision=hp)
+        g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)
         lam = damping * (jnp.trace(h, axis1=-2, axis2=-1) / d + 1.0)
         h = h + lam[..., None, None] * jnp.eye(d, dtype=h.dtype)
         dx = -jnp.linalg.solve(h, g[..., None])[..., 0]
@@ -251,8 +252,9 @@ def gauss_newton_se3(
         w = robust_weights(res, scheme, sigma, eps, match_distances)
         wres = res * w
         wjac = jac * w[..., None]
-        h = jnp.einsum("bnd,bne->bde", wjac, wjac)
-        g = jnp.einsum("bnd,bn->bd", wjac, wres)
+        hp = jax.lax.Precision.HIGHEST  # TPU f32 einsum defaults to bf16 passes
+        h = jnp.einsum("bnd,bne->bde", wjac, wjac, precision=hp)
+        g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)
         lam = damping * (jnp.trace(h, axis1=-2, axis2=-1) / 6.0 + 1.0)
         h = h + lam[..., None, None] * jnp.eye(6, dtype=h.dtype)
         dx = -jnp.linalg.solve(h, g[..., None])[..., 0]

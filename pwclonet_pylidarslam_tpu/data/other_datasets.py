@@ -97,6 +97,85 @@ class Kitti360Sequence:
         return out
 
 
+@dataclasses.dataclass
+class Kitti360PairDataset:
+    """Training pairs on KITTI-360 (ref ``kitti_360_dataset_2.py:66-549``).
+
+    Same contract as :class:`data.kitti.KittiPairDataset`: items are
+    ``{"xyz1": current, "xyz2": previous, "gt_params": (t, q_wxyz)}`` with the
+    GT mapping current-frame coords to previous-frame coords, ground/range
+    filtered to ``num_points`` in the cam0 frame, optional SE(3) augmentation
+    composed into the GT (ref ``:200-259``).
+    """
+
+    root_dir: str
+    sequences: tuple
+    num_points: int = 8192
+    max_frame_gap: int = 1
+    augment: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self._seqs = {}
+        self._index = []
+        for s in self.sequences:
+            seq = Kitti360Sequence(self.root_dir, s)
+            if seq._poses is None:
+                continue
+            velo_poses = seq.ground_truth()
+            self._seqs[s] = (seq, velo_poses)
+            self._index.extend((s, i) for i in range(len(seq)))
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, index: int):
+        import jax.numpy as jnp
+
+        from pwclonet_pylidarslam_tpu.core import rotation as rot
+        from pwclonet_pylidarslam_tpu.data.kitti import filter_pcd, random_augmentation
+
+        s, i2 = self._index[index]
+        seq, poses = self._seqs[s]
+        gap = int(self._rng.integers(1, self.max_frame_gap + 1))
+        i1 = max(i2 - gap, 0)
+        # velo frame → cam0 frame for the reference's filter conventions
+        velo_to_cam = np.linalg.inv(seq.cam_to_velo)
+
+        def load(i):
+            pts = seq.scan(i)
+            hom = np.concatenate([pts, np.ones((len(pts), 1))], -1)
+            return (velo_to_cam @ hom.T).T[:, :3]
+
+        p1 = filter_pcd(load(i1), self.num_points, self._rng)
+        p2 = filter_pcd(load(i2), self.num_points, self._rng)
+        cam_pose = lambda i: velo_to_cam @ poses[i] @ seq.cam_to_velo
+        t_diff = np.linalg.inv(cam_pose(i1)) @ cam_pose(i2)
+        if self.augment:
+            t_aug = random_augmentation(self._rng)
+            hom = np.concatenate([p2, np.ones((self.num_points, 1))], -1)
+            p2 = (t_aug @ hom.T).T[:, :3]
+            t_gt = t_diff @ np.linalg.inv(t_aug)
+        else:
+            t_gt = t_diff
+        q = np.asarray(rot.mat_to_quat(jnp.asarray(t_gt[:3, :3])))
+        gt = np.concatenate([t_gt[:3, 3], q]).astype(np.float32)
+        return {
+            "xyz1": p2.astype(np.float32),
+            "xyz2": p1.astype(np.float32),
+            "gt_params": gt,
+        }
+
+    def batches(self, batch_size: int, shuffle: bool = True):
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(i)] for i in order[start : start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
 # ---------------------------------------------------------------------------
 # NCLT
 # ---------------------------------------------------------------------------

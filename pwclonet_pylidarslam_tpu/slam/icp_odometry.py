@@ -73,9 +73,8 @@ class FrameResult(NamedTuple):
 
 
 def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
-    p = config.projector
     return OdometryState(
-        map=lm.init_local_map(config.local_map_size, p.height, p.width, dtype),
+        map=lm.init_local_map(config.local_map_size, config.num_points, dtype),
         pose=jnp.eye(4, dtype=dtype),
         last_rel=jnp.eye(4, dtype=dtype),
         last_kf_pose=jnp.eye(4, dtype=dtype),
@@ -113,25 +112,29 @@ def _register(
         # large-residual evidence and ICP stalls under fast motion (found by
         # probing 2 m/frame straight sequences)
         sigma_i = jnp.maximum(config.sigma, 0.5 * gate)
-        result = opt.solve_point_to_plane(
-            points[None],
-            target[None],
-            normal[None],
-            mask=w[None],
-            init_pose=delta[None],
-            max_iters=config.gn_iters_per_alignment,
-            norm_stop_criterion=0.0,  # outer loop owns convergence
-            scheme=config.scheme,
-            sigma=sigma_i,
+        # one inlined GN step (no nested while_loop — loop overhead per outer
+        # iteration dominates the actual 6x6 solve on TPU)
+        res, jac = opt.point_to_plane_residual_jac(
+            delta[None], points[None], target[None], normal[None], mask=w[None]
         )
-        new_delta = result.pose[0]
-        step = se3.log(se3.inverse(delta)[None] @ new_delta[None])[0]
-        step_norm = jnp.linalg.norm(step)
+        rw = opt.robust_weights(res, config.scheme, sigma_i)
+        wres = res * rw
+        wjac = jac * rw[..., None]
+        # HIGHEST precision: TPU f32 einsums run bf16 passes by default,
+        # which visibly degrades the GN step (drift 0.15% -> 1.0% on bench)
+        hp = jax.lax.Precision.HIGHEST
+        h = jnp.einsum("bnd,bne->bde", wjac, wjac, precision=hp)[0]
+        g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)[0]
+        lam = 1e-9 * (jnp.trace(h) / 6.0 + 1.0)
+        dx = -jnp.linalg.solve(h + lam * jnp.eye(6, dtype=h.dtype), g)
+        new_delta = se3.exp(dx) @ delta
+        step_norm = jnp.linalg.norm(dx)
+        cost = jnp.sum(wres[0] ** 2)
         # only declare convergence once the gate has annealed to its floor,
         # otherwise a small early step under a wide gate stops the loop
         gate_done = gate <= config.max_assoc_distance * 1.001
         converged = jnp.logical_and(gate_done, step_norm < config.threshold_delta_pose)
-        return i + 1, new_delta, converged, jnp.sum(w), result.cost[0]
+        return i + 1, new_delta, converged, jnp.sum(w), cost
 
     def cond(carry):
         i, _, converged, _, _ = carry
@@ -193,9 +196,24 @@ def process_frame(
         empty_map,
     )
 
+    # per-point normals: build the scan's vertex/normal maps once, then
+    # gather each point's normal at its pixel (points that lost the z-buffer
+    # race inherit the winning neighbor's normal — same surface)
     vmap = proj.build_projection_map(points[None])[0]
     normal_map = compute_normal_map(vmap[None], config.normal_kernel_size)[0]
-    new_map = lm.insert_keyframe(state.map, vmap, normal_map, new_pose, do_insert)
+    from pwclonet_pylidarslam_tpu.core.projection import spherical_pixel_coords
+
+    rows, cols, _depth = spherical_pixel_coords(
+        points[None], proj.height, proj.width,
+        proj.min_vertical_fov, proj.max_vertical_fov,
+    )
+    r_i = jnp.clip(jnp.round(rows[0]).astype(jnp.int32), 0, proj.height - 1)
+    c_i = jnp.clip(jnp.round(cols[0]).astype(jnp.int32), 0, proj.width - 1)
+    pt_normals = normal_map[r_i, c_i]
+    pt_ok = valid * (jnp.linalg.norm(pt_normals, axis=-1) > 0.5)
+    new_map = lm.insert_keyframe(
+        state.map, points, pt_normals, pt_ok, new_pose, do_insert
+    )
 
     new_state = OdometryState(
         map=new_map,

@@ -1,13 +1,15 @@
-"""Projective local map: fixed-capacity ring buffer of keyframe vertex maps.
+"""Projective local map: fixed-capacity ring buffer of keyframe point lists.
 
 TPU-native redesign of the reference's ``ProjectiveLocalMap``
 (``slam/odometry/local_map.py:91-240``): the map stores the last K keyframes
-(vertex map + normal map + absolute pose) in a **static-shape ring buffer**
-and, given a query pose, re-projects all stored points into the query frame
-through the deterministic z-buffer — producing ONE aggregated model map whose
-channels carry both geometry and normals. Association is then a per-point
-pixel gather (O(N)), not a tree query; there is no KdTree equivalent because
-there is no tree-friendly memory model on TPU (SURVEY.md §7 "hard parts").
+as **compacted point lists with per-point normals** (a scan contributes at
+most its ``num_points`` real returns — far denser storage than the mostly
+empty 64×720 vertex-map grid) plus absolute poses, in a static-shape ring
+buffer. Given a query pose, all stored points are transformed into the query
+frame and scattered through the deterministic z-buffer into ONE model map
+whose channels carry geometry + normals; association is then a per-point
+pixel gather (O(N)), not a tree query — there is no KdTree equivalent
+because there is no tree-friendly memory model on TPU (SURVEY.md §7).
 
 Everything here is functional: the map state is a pytree, updates return new
 states, and all methods trace under jit.
@@ -30,20 +32,24 @@ from pwclonet_pylidarslam_tpu.core.projection import (
 
 
 class LocalMapState(NamedTuple):
-    """Ring buffer of K keyframes. ``vmaps``/``normals`` are in each
+    """Ring buffer of K keyframes. ``points``/``normals`` are in each
     keyframe's own sensor frame; ``poses`` are absolute."""
 
-    vmaps: jax.Array  # (K, H, W, 3)
-    normals: jax.Array  # (K, H, W, 3)
+    points: jax.Array  # (K, P, 3)
+    normals: jax.Array  # (K, P, 3)
+    pt_valid: jax.Array  # (K, P)
     poses: jax.Array  # (K, 4, 4)
     valid: jax.Array  # (K,) float 0/1
     next_slot: jax.Array  # () int32 — FIFO write pointer
 
 
-def init_local_map(capacity: int, height: int, width: int, dtype=jnp.float32) -> LocalMapState:
+def init_local_map(
+    capacity: int, points_per_frame: int, dtype=jnp.float32
+) -> LocalMapState:
     return LocalMapState(
-        vmaps=jnp.zeros((capacity, height, width, 3), dtype),
-        normals=jnp.zeros((capacity, height, width, 3), dtype),
+        points=jnp.zeros((capacity, points_per_frame, 3), dtype),
+        normals=jnp.zeros((capacity, points_per_frame, 3), dtype),
+        pt_valid=jnp.zeros((capacity, points_per_frame), dtype),
         poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (capacity, 4, 4)),
         valid=jnp.zeros((capacity,), dtype),
         next_slot=jnp.zeros((), jnp.int32),
@@ -52,31 +58,31 @@ def init_local_map(capacity: int, height: int, width: int, dtype=jnp.float32) ->
 
 def insert_keyframe(
     state: LocalMapState,
-    vmap: jax.Array,
-    normal_map: jax.Array,
+    points: jax.Array,
+    normals: jax.Array,
+    pt_valid: jax.Array,
     pose: jax.Array,
     do_insert: jax.Array,
 ) -> LocalMapState:
     """Conditionally insert a keyframe at the FIFO slot (``do_insert`` bool).
 
-    Implemented with masked writes so the step stays branch-free under jit
-    (mirrors the FIFO eviction of ref ``local_map.py:167-172``).
+    Masked writes keep the step branch-free under jit (mirrors the FIFO
+    eviction of ref ``local_map.py:167-172``).
     """
-    slot = state.next_slot % state.vmaps.shape[0]
-    ins = do_insert.astype(state.vmaps.dtype)
+    slot = state.next_slot % state.points.shape[0]
+    ins = do_insert.astype(state.points.dtype)
 
-    new_vmaps = state.vmaps.at[slot].set(
-        ins * vmap + (1.0 - ins) * state.vmaps[slot]
+    def mix(buf, new):
+        return buf.at[slot].set(ins * new + (1.0 - ins) * buf[slot])
+
+    return LocalMapState(
+        points=mix(state.points, points),
+        normals=mix(state.normals, normals),
+        pt_valid=mix(state.pt_valid, pt_valid),
+        poses=mix(state.poses, pose),
+        valid=state.valid.at[slot].max(ins),
+        next_slot=state.next_slot + do_insert.astype(jnp.int32),
     )
-    new_normals = state.normals.at[slot].set(
-        ins * normal_map + (1.0 - ins) * state.normals[slot]
-    )
-    new_poses = state.poses.at[slot].set(
-        ins * pose + (1.0 - ins) * state.poses[slot]
-    )
-    new_valid = state.valid.at[slot].max(ins)
-    new_next = state.next_slot + do_insert.astype(jnp.int32)
-    return LocalMapState(new_vmaps, new_normals, new_poses, new_valid, new_next)
 
 
 @functools.partial(jax.jit, static_argnames=("projector",))
@@ -90,22 +96,20 @@ def build_model_map(
     nearest point wins per pixel. Returns ``(H, W, 6)``: xyz + normal.
     (Ref ``ProjectiveLocalMap.build_model``, local_map.py:177-202.)
     """
-    k, h, w, _ = state.vmaps.shape
+    k, p, _ = state.points.shape
     rel = se3.inverse(query_pose)[None] @ state.poses  # (K, 4, 4)
-    pts = state.vmaps.reshape(k, h * w, 3)
-    pt_valid = (jnp.linalg.norm(pts, axis=-1) > 0) & (state.valid[:, None] > 0)
-    pts_q = se3.transform(rel, pts)  # (K, HW, 3)
-    nrm_q = jnp.einsum("kij,knj->kni", rel[:, :3, :3], state.normals.reshape(k, h * w, 3))
-    # merge all keyframes into one point list for a single scatter pass
-    flat_pts = pts_q.reshape(1, k * h * w, 3)
-    flat_nrm = nrm_q.reshape(1, k * h * w, 3)
-    flat_valid = pt_valid.reshape(1, k * h * w)
+    pts_q = se3.transform(rel, state.points)  # (K, P, 3)
+    nrm_q = jnp.einsum("kij,knj->kni", rel[:, :3, :3], state.normals)
+    pt_ok = state.pt_valid * state.valid[:, None]
+    flat_pts = pts_q.reshape(1, k * p, 3)
+    flat_nrm = nrm_q.reshape(1, k * p, 3)
+    flat_valid = pt_ok.reshape(1, k * p)
 
     rows, cols, depth = spherical_pixel_coords(
         flat_pts, projector.height, projector.width,
         projector.min_vertical_fov, projector.max_vertical_fov,
     )
-    depth = jnp.where(flat_valid, depth, 0.0)
+    depth = jnp.where(flat_valid > 0, depth, 0.0)
     chan = jnp.concatenate([flat_pts, flat_nrm], axis=-1)
     model = zbuffer_scatter(chan, rows, cols, depth, projector.height, projector.width)
     return model[0]  # (H, W, 6)

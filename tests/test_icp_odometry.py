@@ -23,36 +23,42 @@ def sequence():
 
 class TestLocalMap:
     def test_insert_and_fifo(self):
-        proj = SphericalProjector(height=8, width=16)
-        state = lm.init_local_map(3, 8, 16)
-        vm = jnp.ones((8, 16, 3))
-        nm = jnp.ones((8, 16, 3))
+        state = lm.init_local_map(3, 128)
+        pts = jnp.ones((128, 3))
+        nm = jnp.ones((128, 3))
+        ok = jnp.ones((128,))
         for i in range(5):
             pose = jnp.eye(4).at[0, 3].set(float(i))
-            state = lm.insert_keyframe(state, vm * (i + 1), nm, pose, jnp.asarray(True))
+            state = lm.insert_keyframe(
+                state, pts * (i + 1), nm, ok, pose, jnp.asarray(True)
+            )
         assert int(jnp.sum(state.valid)) == 3
         # FIFO: slots hold frames 3, 4, 2 (pointer wrapped)
         xs = np.asarray(state.poses)[:, 0, 3]
         assert set(xs.tolist()) == {2.0, 3.0, 4.0}
 
     def test_skipped_insert_changes_nothing(self):
-        state = lm.init_local_map(2, 4, 8)
-        vm = jnp.ones((4, 8, 3))
-        new = lm.insert_keyframe(state, vm, vm, jnp.eye(4), jnp.asarray(False))
+        state = lm.init_local_map(2, 64)
+        pts = jnp.ones((64, 3))
+        new = lm.insert_keyframe(
+            state, pts, pts, jnp.ones(64), jnp.eye(4), jnp.asarray(False)
+        )
         assert int(jnp.sum(new.valid)) == 0
         assert int(new.next_slot) == 0
 
     def test_build_model_transforms_to_query_frame(self):
         proj = SphericalProjector()
-        state = lm.init_local_map(2, proj.height, proj.width)
+        state = lm.init_local_map(2, 500)
         # keyframe at origin observing a wall of points in front
         rng = np.random.default_rng(0)
         pts = np.stack(
             [np.full(500, 20.0), rng.uniform(-5, 5, 500), rng.uniform(-2, 2, 500)], -1
         ).astype(np.float32)
-        vmap = proj.build_projection_map(jnp.asarray(pts[None]))[0]
-        nm = jnp.zeros_like(vmap)
-        state = lm.insert_keyframe(state, vmap, nm, jnp.eye(4), jnp.asarray(True))
+        normals = np.tile([-1.0, 0, 0], (500, 1)).astype(np.float32)
+        state = lm.insert_keyframe(
+            state, jnp.asarray(pts), jnp.asarray(normals), jnp.ones(500),
+            jnp.eye(4), jnp.asarray(True),
+        )
         # query from 5m forward: wall should appear ~15m ahead
         query = jnp.eye(4).at[0, 3].set(5.0)
         model = np.asarray(lm.build_model_map(state, query, proj))
@@ -60,6 +66,8 @@ class TestLocalMap:
         assert occ.sum() > 100
         xs = model[..., 0][occ]
         np.testing.assert_allclose(xs.mean(), 15.0, atol=0.5)
+        # normals ride along unrotated (identity-rotation query)
+        np.testing.assert_allclose(model[..., 3][occ], -1.0, atol=1e-6)
 
 
 class TestICPOdometry:

@@ -123,3 +123,51 @@ def test_ford_sequence(tmp_path):
     assert seq.scan(0).shape == (40, 3)
     gt = seq.ground_truth()
     np.testing.assert_allclose(gt[1][0, 3], 1.0, atol=1e-9)
+
+
+def test_kitti360_pair_dataset(tmp_path):
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.core import se3
+
+    drive = od.kitti360_drive_name(3)
+    velo = tmp_path / "data_3d_raw" / drive / "velodyne_points" / "data"
+    velo.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    # world points within the cam-frame near box after identity calib
+    world = np.concatenate(
+        [rng.uniform(-20, 20, (3000, 2)), rng.uniform(-1.0, 1.0, (3000, 1))], -1
+    )
+    rows = []
+    for t in range(4):
+        pose = np.eye(4)
+        pose[0, 3] = 1.2 * t
+        pts = (np.linalg.inv(pose) @ np.concatenate(
+            [world, np.ones((3000, 1))], -1).T).T[:, :3]
+        np.concatenate([pts, np.ones((3000, 1))], -1).astype(np.float32).tofile(
+            velo / f"{t:010d}.bin")
+        rows.append(np.concatenate([[t], pose[:3, :4].reshape(-1)]))
+    poses_dir = tmp_path / "data_poses" / drive
+    poses_dir.mkdir(parents=True)
+    np.savetxt(poses_dir / "poses.txt", np.stack(rows))
+    (tmp_path / "calibration").mkdir()
+    np.savetxt(tmp_path / "calibration" / "calib_cam_to_velo.txt",
+               np.eye(4)[:3].reshape(-1)[None])
+
+    ds = od.Kitti360PairDataset(str(tmp_path), (3,), num_points=512, seed=0)
+    assert len(ds) == 4
+    item = ds[2]
+    assert item["xyz1"].shape == (512, 3)
+    # GT warp closes onto the previous frame's full cloud
+    gt_pose = se3.params_to_pose_quat(jnp.asarray(item["gt_params"], jnp.float64))
+    warped = np.asarray(se3.transform(gt_pose, jnp.asarray(item["xyz1"], jnp.float64)))
+    prev_full = (np.linalg.inv(np.eye(4)) @ np.concatenate(
+        [world, np.ones((3000, 1))], -1).T).T[:, :3]
+    # previous frame (t=1): world seen from x=1.2
+    pose1 = np.eye(4); pose1[0, 3] = 1.2
+    prev_full = (np.linalg.inv(pose1) @ np.concatenate(
+        [world, np.ones((3000, 1))], -1).T).T[:, :3]
+    d = np.sqrt(((warped[:, None, :] - prev_full[None, :, :]) ** 2).sum(-1)).min(1)
+    assert np.median(d) < 1e-3
+    b = next(ds.batches(2))
+    assert b["xyz1"].shape == (2, 512, 3)
