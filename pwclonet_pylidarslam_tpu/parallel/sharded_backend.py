@@ -25,6 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pwclonet_pylidarslam_tpu.core import se3
 from pwclonet_pylidarslam_tpu.slam.backend import PGOConfig, PoseGraph
 
+# TPU f32 einsums default to bf16 passes; the normal equations need full f32
+_HP = jax.lax.Precision.HIGHEST
+
 
 def _local_edge_jacobians(poses, edge_i, edge_j, edge_meas):
     def one(ei, ej, z):
@@ -87,20 +90,20 @@ def optimize_sharded(
             def h_matvec(v):
                 vi = v[edge_i]
                 vj = v[edge_j]
-                u = jnp.einsum("eab,eb->ea", ji, vi) + jnp.einsum("eab,eb->ea", jj, vj)
+                u = jnp.einsum("eab,eb->ea", ji, vi, precision=_HP) + jnp.einsum("eab,eb->ea", jj, vj, precision=_HP)
                 u = u * info
                 y = scatter_nodes(
-                    jnp.einsum("eba,eb->ea", ji, u), jnp.einsum("eba,eb->ea", jj, u)
+                    jnp.einsum("eba,eb->ea", ji, u, precision=_HP), jnp.einsum("eba,eb->ea", jj, u, precision=_HP)
                 )
                 return y + config.damping * v
 
             wr = res * info
             g = scatter_nodes(
-                jnp.einsum("eba,eb->ea", ji, wr), jnp.einsum("eba,eb->ea", jj, wr)
+                jnp.einsum("eba,eb->ea", ji, wr, precision=_HP), jnp.einsum("eba,eb->ea", jj, wr, precision=_HP)
             )
 
-            hii = jnp.einsum("eba,ebc->eac", ji, ji * info[:, :, None])
-            hjj = jnp.einsum("eba,ebc->eac", jj, jj * info[:, :, None])
+            hii = jnp.einsum("eba,ebc->eac", ji, ji * info[:, :, None], precision=_HP)
+            hjj = jnp.einsum("eba,ebc->eac", jj, jj * info[:, :, None], precision=_HP)
             diag = jnp.zeros((poses.shape[0], 6, 6), poses.dtype)
             diag = diag.at[edge_i].add(hii)
             diag = diag.at[edge_j].add(hjj)
@@ -109,7 +112,7 @@ def optimize_sharded(
             diag_inv = jnp.linalg.inv(diag)
 
             def precond(v):
-                return jnp.einsum("vab,vb->va", diag_inv, v) * free[:, None]
+                return jnp.einsum("vab,vb->va", diag_inv, v, precision=_HP) * free[:, None]
 
             def cg_body(_, state):
                 x, r, z, p = state

@@ -33,6 +33,9 @@ import numpy as np
 
 from pwclonet_pylidarslam_tpu.core import se3
 
+# TPU f32 einsums default to bf16 passes; the normal equations need full f32
+_HP = jax.lax.Precision.HIGHEST
+
 # default information diagonals (trans ×3, rot ×3) — ref backend.py:348-358
 ODOMETRY_INFO = (2.0, 2.0, 2.0, 5.0, 5.0, 5.0)
 LOOP_INFO = (0.1, 0.1, 0.1, 0.5, 0.5, 0.5)
@@ -197,10 +200,10 @@ def optimize(graph: PoseGraph, config: PGOConfig = PGOConfig()) -> PoseGraph:
         def h_matvec(v):  # v: (V, 6)
             vi = v[graph.edge_i]
             vj = v[graph.edge_j]
-            u = jnp.einsum("eab,eb->ea", ji, vi) + jnp.einsum("eab,eb->ea", jj, vj)
+            u = jnp.einsum("eab,eb->ea", ji, vi, precision=_HP) + jnp.einsum("eab,eb->ea", jj, vj, precision=_HP)
             u = u * info
-            yi = jnp.einsum("eba,eb->ea", ji, u)
-            yj = jnp.einsum("eba,eb->ea", jj, u)
+            yi = jnp.einsum("eba,eb->ea", ji, u, precision=_HP)
+            yj = jnp.einsum("eba,eb->ea", jj, u, precision=_HP)
             y = jnp.zeros_like(v)
             y = y.at[graph.edge_i].add(yi)
             y = y.at[graph.edge_j].add(yj)
@@ -209,16 +212,16 @@ def optimize(graph: PoseGraph, config: PGOConfig = PGOConfig()) -> PoseGraph:
 
         # gradient g = Jᵀ W r
         wr = res * info
-        gi = jnp.einsum("eba,eb->ea", ji, wr)
-        gj = jnp.einsum("eba,eb->ea", jj, wr)
+        gi = jnp.einsum("eba,eb->ea", ji, wr, precision=_HP)
+        gj = jnp.einsum("eba,eb->ea", jj, wr, precision=_HP)
         g = jnp.zeros_like(poses[:, :3, 0], shape=(poses.shape[0], 6))
         g = g.at[graph.edge_i].add(gi)
         g = g.at[graph.edge_j].add(gj)
         g = g * free[:, None]
 
         # block-Jacobi preconditioner: per-node 6x6 diagonal blocks
-        hii = jnp.einsum("eba,e,ebc->eac", ji, jnp.ones_like(w_e), ji * info[:, :, None])
-        hjj = jnp.einsum("eba,e,ebc->eac", jj, jnp.ones_like(w_e), jj * info[:, :, None])
+        hii = jnp.einsum("eba,e,ebc->eac", ji, jnp.ones_like(w_e), ji * info[:, :, None], precision=_HP)
+        hjj = jnp.einsum("eba,e,ebc->eac", jj, jnp.ones_like(w_e), jj * info[:, :, None], precision=_HP)
         diag = jnp.zeros((poses.shape[0], 6, 6), poses.dtype)
         diag = diag.at[graph.edge_i].add(hii)
         diag = diag.at[graph.edge_j].add(hjj)
@@ -226,7 +229,7 @@ def optimize(graph: PoseGraph, config: PGOConfig = PGOConfig()) -> PoseGraph:
         diag_inv = jnp.linalg.inv(diag)
 
         def precond(v):
-            return jnp.einsum("vab,vb->va", diag_inv, v) * free[:, None]
+            return jnp.einsum("vab,vb->va", diag_inv, v, precision=_HP) * free[:, None]
 
         # preconditioned CG for H dx = -g
         def cg_body(_, state):
