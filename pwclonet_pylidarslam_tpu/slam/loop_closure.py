@@ -250,6 +250,53 @@ class ElevationImageLoopClosure:
             )
         return found
 
+    # -- persistence (ref serialize/load, loop_closure.py:160-193) ----------
+
+    def serialize(self, path: str):
+        """Save submaps + frame poses + constraints to one ``.npz`` (plain
+        arrays — no cv2-keypoint pickling workarounds needed here)."""
+        import numpy as _np
+
+        payload = {
+            "frame_poses": _np.stack(self.frame_poses) if self.frame_poses else _np.zeros((0, 4, 4)),
+            "n_submaps": _np.asarray(len(self.submaps)),
+            "n_constraints": _np.asarray(len(self.constraints)),
+        }
+        for k, sm in enumerate(self.submaps):
+            payload[f"submap_{k}_points"] = sm.points
+            payload[f"submap_{k}_mask"] = sm.mask
+            payload[f"submap_{k}_mid"] = _np.asarray([sm.mid_frame_id])
+            payload[f"submap_{k}_pose"] = sm.mid_pose
+        for k, c in enumerate(self.constraints):
+            payload[f"constraint_{k}"] = _np.concatenate(
+                [[c.frame_i, c.frame_j, c.confidence], c.relative_pose.reshape(-1)]
+            )
+        _np.savez_compressed(path, **payload)
+
+    def load(self, path: str):
+        import numpy as _np
+
+        data = _np.load(path)
+        self.reset()
+        self.frame_poses = [p for p in data["frame_poses"]]
+        for k in range(int(data["n_submaps"])):
+            self.submaps.append(
+                Submap(
+                    points=data[f"submap_{k}_points"],
+                    mask=data[f"submap_{k}_mask"],
+                    mid_frame_id=int(data[f"submap_{k}_mid"][0]),
+                    mid_pose=data[f"submap_{k}_pose"],
+                )
+            )
+        for k in range(int(data["n_constraints"])):
+            row = data[f"constraint_{k}"]
+            self.constraints.append(
+                LoopConstraint(
+                    frame_i=int(row[0]), frame_j=int(row[1]),
+                    relative_pose=row[3:].reshape(4, 4), confidence=float(row[2]),
+                )
+            )
+
     # -- resync after backend optimization (ref update_positions:170) -------
 
     def update_positions(self, trajectory: np.ndarray):

@@ -47,6 +47,7 @@ class TrainerConfig:
     checkpoint_every_epochs: int = 10  # periodic checkpoints (ref ATrainer)
     eval_every_epochs: int = 1
     seed: int = 0
+    tensorboard: bool = False  # per-epoch scalars via torch.utils.tensorboard
 
 
 class AverageMeter:
@@ -82,6 +83,14 @@ class PWCLONetTrainer:
         self.best_train_loss = float("inf")
         self.best_eval_loss = float("inf")
         self.history: List[Dict] = []
+        self._tb = None
+        if self.config.tensorboard:
+            try:  # optional dependency (ref trainer.py:359-369 SummaryWriter)
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.config.log_dir, "tb"))
+            except Exception as exc:  # noqa: BLE001
+                print(f"[trainer] tensorboard unavailable: {exc}")
 
     # -- checkpointing (orbax; ref trainer.py:834-907) ----------------------
 
@@ -214,6 +223,10 @@ class PWCLONetTrainer:
             self.history.append(record)
             with open(os.path.join(self.config.log_dir, "history.jsonl"), "a") as f:
                 f.write(json.dumps(record) + "\n")
+            if self._tb is not None:
+                for k, v in record.items():
+                    if isinstance(v, (int, float)) and np.isfinite(v):
+                        self._tb.add_scalar(k, v, self.epoch)
             self.epoch += 1
         self.save_checkpoint("final")
         return self.history
