@@ -84,6 +84,55 @@ def plot_trajectories(
     plt.close(fig)
 
 
+def plot_segment_errors(
+    path: str, predicted: np.ndarray, ground_truth: np.ndarray, title: str = ""
+):
+    """Per-segment-length and per-speed error plots (the KITTI devkit panels,
+    ref ``evaluation.py:236-500``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    errors = metrics_mod.calc_sequence_errors(predicted, ground_truth)
+    if not errors:
+        return False
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    segs = sorted({e["segment"] for e in errors})
+
+    def seg_avg(key):
+        return [
+            float(np.mean([e[key] for e in errors if e["segment"] == s])) for s in segs
+        ]
+
+    axes[0, 0].plot(segs, [100 * v for v in seg_avg("tr_err")], "o-")
+    axes[0, 0].set_xlabel("segment length (m)")
+    axes[0, 0].set_ylabel("translation error (%)")
+    axes[0, 1].plot(segs, [np.rad2deg(v) * 100 for v in seg_avg("r_err")], "o-")
+    axes[0, 1].set_xlabel("segment length (m)")
+    axes[0, 1].set_ylabel("rotation error (deg/100m)")
+
+    speeds = np.asarray([e["speed"] * 3.6 for e in errors])  # km/h
+    bins = np.linspace(speeds.min(), speeds.max() + 1e-6, 8)
+    centers = 0.5 * (bins[1:] + bins[:-1])
+    idx = np.clip(np.digitize(speeds, bins) - 1, 0, len(centers) - 1)
+    tr = np.asarray([100 * e["tr_err"] for e in errors])
+    rot = np.asarray([np.rad2deg(e["r_err"]) * 100 for e in errors])
+    tr_by_speed = [tr[idx == b].mean() if (idx == b).any() else np.nan for b in range(len(centers))]
+    rot_by_speed = [rot[idx == b].mean() if (idx == b).any() else np.nan for b in range(len(centers))]
+    axes[1, 0].plot(centers, tr_by_speed, "o-")
+    axes[1, 0].set_xlabel("speed (km/h)")
+    axes[1, 0].set_ylabel("translation error (%)")
+    axes[1, 1].plot(centers, rot_by_speed, "o-")
+    axes[1, 1].set_xlabel("speed (km/h)")
+    axes[1, 1].set_ylabel("rotation error (deg/100m)")
+    fig.suptitle(title or "segment errors")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return True
+
+
 class OdometryResults:
     """Per-run results directory (ref ``OdometryResults``).
 
@@ -134,6 +183,13 @@ class OdometryResults:
                     ground_truth,
                     title=sequence_name,
                 )
+                if ground_truth is not None:
+                    plot_segment_errors(
+                        os.path.join(self.log_dir, f"{sequence_name}_errors.png"),
+                        predicted,
+                        ground_truth,
+                        title=sequence_name,
+                    )
             except Exception:
                 pass  # plotting is best-effort (headless/broken matplotlib)
         return md
