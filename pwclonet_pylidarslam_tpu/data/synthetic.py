@@ -159,6 +159,93 @@ class SyntheticSequenceConfig:
     dropout: float = 0.1  # fraction of rays randomly dropped
     num_points: int = 8192  # output scan size (subsample/pad)
     seed: int = 0
+    # simulate the rolling-shutter effect of a spinning LiDAR: each column is
+    # measured from the pose interpolated between frame t (scan start) and
+    # frame t+1, so a rigid interpretation of the scan is distorted. The GT
+    # pose of frame t remains the scan-START pose.
+    motion_distortion: bool = False
+
+
+def _interp_pose(pose0: np.ndarray, pose1: np.ndarray, alpha: float) -> np.ndarray:
+    """Slerp rotation + lerp translation between two 4x4 poses (host side)."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    slerp = Slerp([0.0, 1.0], Rotation.from_matrix([pose0[:3, :3], pose1[:3, :3]]))
+    out = np.eye(4)
+    out[:3, :3] = slerp([alpha])[0].as_matrix()
+    out[:3, 3] = (1.0 - alpha) * pose0[:3, 3] + alpha * pose1[:3, 3]
+    return out
+
+
+def generate_sequence_with_times(
+    config: SyntheticSequenceConfig = SyntheticSequenceConfig(),
+    world: Optional[List[Rect]] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Simulate a sequence; also return per-point intra-scan timestamps.
+
+    Returns ``(scans (T, num_points, 3), times (T, num_points), poses (T, 4, 4))``.
+    Scans are in the sensor frame (of the instant each point was measured, if
+    ``motion_distortion``; of the frame pose otherwise), zero-padded; ``times``
+    are the fraction of the scan period in [0, 1) at which each point was
+    taken (0 for padding); poses are ground-truth scan-start sensor poses.
+    """
+    rng = np.random.default_rng(config.seed)
+    rects = world if world is not None else default_world(config.seed)
+    dirs_sensor = lidar_directions(config.num_beams, config.num_cols)
+    poses = make_trajectory(config.trajectory, config.n_frames, config.speed)
+    # column index of each ray in beam-major scan order -> intra-scan time
+    col_of_ray = np.tile(np.arange(config.num_cols), config.num_beams)
+    alpha_of_ray = col_of_ray.astype(np.float64) / config.num_cols
+
+    # discretize the sweep into pose sub-steps (full slerp per ray is slow)
+    n_sub = 24
+
+    scans = np.zeros((config.n_frames, config.num_points, 3), np.float32)
+    times = np.zeros((config.n_frames, config.num_points), np.float32)
+    for t in range(config.n_frames):
+        if config.motion_distortion:
+            if t + 1 < config.n_frames:
+                pose_next = poses[t + 1]
+            else:
+                # constant-velocity extrapolation: the last scan must be
+                # distorted like all others, not silently rigid
+                pose_next = poses[t] @ (np.linalg.inv(poses[t - 1]) @ poses[t])
+            sub_idx = np.minimum((alpha_of_ray * n_sub).astype(int), n_sub - 1)
+            pts_list, time_list = [], []
+            for s in range(n_sub):
+                sel_rays = sub_idx == s
+                if not np.any(sel_rays):
+                    continue
+                pose_s = _interp_pose(poses[t], pose_next, (s + 0.5) / n_sub)
+                rot, origin = pose_s[:3, :3], pose_s[:3, 3]
+                d_sensor = dirs_sensor[sel_rays]
+                d_world = d_sensor @ rot.T
+                ranges = raycast(rects, np.broadcast_to(origin, d_world.shape), d_world)
+                ok = np.isfinite(ranges)
+                if config.dropout > 0:
+                    ok &= rng.uniform(size=ok.shape) > config.dropout
+                pts_list.append(d_sensor[ok] * ranges[ok, None])
+                time_list.append(alpha_of_ray[sel_rays][ok])
+            pts = np.concatenate(pts_list)
+            tstamps = np.concatenate(time_list)
+        else:
+            rot = poses[t, :3, :3]
+            origin = poses[t, :3, 3]
+            d_world = dirs_sensor @ rot.T
+            origins = np.broadcast_to(origin, d_world.shape)
+            ranges = raycast(rects, origins, d_world)
+            ok = np.isfinite(ranges)
+            if config.dropout > 0:
+                ok &= rng.uniform(size=ok.shape) > config.dropout
+            pts = dirs_sensor[ok] * ranges[ok, None]
+            tstamps = alpha_of_ray[ok]
+        if config.noise_std > 0:
+            pts = pts + rng.normal(size=pts.shape) * config.noise_std
+        n = min(len(pts), config.num_points)
+        sel = rng.choice(len(pts), n, replace=False) if len(pts) > n else np.arange(len(pts))
+        scans[t, : len(sel)] = pts[sel]
+        times[t, : len(sel)] = tstamps[sel]
+    return scans, times, poses.astype(np.float64)
 
 
 def generate_sequence(
@@ -170,25 +257,5 @@ def generate_sequence(
     Scans are in the sensor frame, zero-padded to ``num_points``; poses are
     ground-truth absolute sensor poses.
     """
-    rng = np.random.default_rng(config.seed)
-    rects = world if world is not None else default_world(config.seed)
-    dirs_sensor = lidar_directions(config.num_beams, config.num_cols)
-    poses = make_trajectory(config.trajectory, config.n_frames, config.speed)
-
-    scans = np.zeros((config.n_frames, config.num_points, 3), np.float32)
-    for t in range(config.n_frames):
-        rot = poses[t, :3, :3]
-        origin = poses[t, :3, 3]
-        d_world = dirs_sensor @ rot.T
-        origins = np.broadcast_to(origin, d_world.shape)
-        ranges = raycast(rects, origins, d_world)
-        ok = np.isfinite(ranges)
-        if config.dropout > 0:
-            ok &= rng.uniform(size=ok.shape) > config.dropout
-        pts = dirs_sensor[ok] * ranges[ok, None]
-        if config.noise_std > 0:
-            pts = pts + rng.normal(size=pts.shape) * config.noise_std
-        n = min(len(pts), config.num_points)
-        sel = rng.choice(len(pts), n, replace=False) if len(pts) > n else np.arange(len(pts))
-        scans[t, : len(sel)] = pts[sel]
-    return scans, poses.astype(np.float64)
+    scans, _times, poses = generate_sequence_with_times(config, world)
+    return scans, poses

@@ -8,6 +8,10 @@ shapes, so the whole SLAM inner loop lives on device; the host only reads
 back poses.
 """
 
+from pwclonet_pylidarslam_tpu.slam.ct_icp_odometry import (  # noqa: F401
+    CTICPConfig,
+    CTICPOdometry,
+)
 from pwclonet_pylidarslam_tpu.slam.icp_odometry import (  # noqa: F401
     ICPConfig,
     ICPOdometry,

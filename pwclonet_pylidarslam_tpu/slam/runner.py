@@ -42,10 +42,13 @@ class SLAMRunnerConfig:
 
 
 class SLAMRunner:
-    def __init__(self, config: Optional[SLAMRunnerConfig] = None):
+    def __init__(self, config: Optional[SLAMRunnerConfig] = None, odometry=None):
         self.config = config or SLAMRunnerConfig()
         self.results = OdometryResults(self.config.log_dir)
         self.failures: Dict[str, str] = {}
+        # optional odometry factory/instance override (e.g. CTICPOdometry);
+        # a fresh pipeline is built per sequence, so an *instance* is re-init()ed
+        self._odometry = odometry
 
     def run(self, sequences: Dict[str, SequenceSource]) -> Dict[str, Dict[str, float]]:
         """Run SLAM over named sequences; returns per-sequence metric dicts."""
@@ -61,7 +64,7 @@ class SLAMRunner:
         return out
 
     def _run_sequence(self, name: str, source: SequenceSource):
-        slam = SLAM(self.config.slam)
+        slam = SLAM(self.config.slam, odometry=self._odometry)
         slam.init()
         n = len(source)
         if self.config.max_frames is not None:

@@ -27,6 +27,7 @@ class RunConfig:
     sequences: str = "0"  # comma-separated
     log_dir: str = "./slam_output"
     max_frames: int = 0  # 0 = all
+    odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid
     with_loop_closure: bool = False
     with_backend: bool = False
     num_points: int = 8192
@@ -99,7 +100,19 @@ def main(argv: Optional[List[str]] = None):
         log_dir=config.log_dir,
         max_frames=config.max_frames or None,
     )
-    runner = SLAMRunner(runner_cfg)
+    odometry = None
+    if config.odometry in ("ct_icp", "ct_icp_rigid"):
+        from pwclonet_pylidarslam_tpu.slam import CTICPConfig, CTICPOdometry
+
+        odometry = CTICPOdometry(
+            CTICPConfig(
+                num_points=config.num_points,
+                elastic=config.odometry == "ct_icp",
+            )
+        )
+    elif config.odometry != "icp":
+        raise SystemExit(f"unknown odometry {config.odometry!r}")
+    runner = SLAMRunner(runner_cfg, odometry=odometry)
     dump_config(config, f"{config.log_dir}/config.yaml") if _ensure_dir(config.log_dir) else None
 
     results = runner.run(build_sources(config))
