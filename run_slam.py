@@ -22,8 +22,9 @@ from typing import List, Optional
 
 @dataclasses.dataclass
 class RunConfig:
-    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | nclt | ford | nhcd
+    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | nclt | ford | nhcd | rosbag | urbanloco
     root_dir: str = ""
+    rosbag_topic: str = "/velodyne_points"
     sequences: str = "0"  # comma-separated
     log_dir: str = "./slam_output"
     max_frames: int = 0  # 0 = all
@@ -73,6 +74,49 @@ def build_sources(config: RunConfig):
 
         for s in seqs:
             sources[f"{int(s):02d}"] = KittiSequence(config.root_dir, int(s))
+    elif config.dataset == "kitti360":
+        from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
+
+        for s in seqs:
+            sources[f"{int(s):02d}"] = Kitti360Sequence(config.root_dir, int(s))
+    elif config.dataset == "nclt":
+        from pwclonet_pylidarslam_tpu.data.other_datasets import NCLTSequence
+
+        for s in seqs:
+            sources[s] = NCLTSequence(config.root_dir, s)
+    elif config.dataset == "ford":
+        import os
+
+        from pwclonet_pylidarslam_tpu.data.other_datasets import FordCampusSequence
+
+        for s in seqs:
+            sources[s] = FordCampusSequence(os.path.join(config.root_dir, s))
+    elif config.dataset == "nhcd":
+        from pwclonet_pylidarslam_tpu.data.other_datasets import NHCDSequence
+
+        for s in seqs:
+            sources[s] = NHCDSequence(config.root_dir, s)
+    elif config.dataset == "rosbag":
+        from pwclonet_pylidarslam_tpu.data.rosbag import RosbagSequence
+
+        for s in seqs:  # each "sequence" is a bag path relative to root_dir
+            path = f"{config.root_dir}/{s}" if config.root_dir else s
+            sources[s.rsplit("/", 1)[-1].removesuffix(".bag")] = RosbagSequence(
+                path, config.rosbag_topic, num_points=config.num_points
+            )
+    elif config.dataset == "urbanloco":
+        from pwclonet_pylidarslam_tpu.data.rosbag import UrbanLocoSequence
+
+        for s in seqs:
+            path = f"{config.root_dir}/{s}" if config.root_dir else s
+            acq = (
+                UrbanLocoSequence.CALIFORNIA
+                if s.rsplit("/", 1)[-1].startswith("CA")
+                else UrbanLocoSequence.HONG_KONG
+            )
+            sources[s.rsplit("/", 1)[-1].removesuffix(".bag")] = UrbanLocoSequence(
+                path, acq, num_points=config.num_points
+            )
     else:
         raise SystemExit(f"unknown dataset {config.dataset!r}")
     return sources
