@@ -48,6 +48,11 @@ class TrainerConfig:
     eval_every_epochs: int = 1
     seed: int = 0
     tensorboard: bool = False  # per-epoch scalars via torch.utils.tensorboard
+    # optional wandb run (ref trainer.py:425-435, 484-508): import-gated, the
+    # trainer degrades to history.jsonl/TB when the package is absent
+    wandb: bool = False
+    wandb_project: str = "pwclonet-pylidarslam-tpu"
+    wandb_run_name: str = ""
 
 
 class AverageMeter:
@@ -91,6 +96,19 @@ class PWCLONetTrainer:
                 self._tb = SummaryWriter(os.path.join(self.config.log_dir, "tb"))
             except Exception as exc:  # noqa: BLE001
                 print(f"[trainer] tensorboard unavailable: {exc}")
+        self._wandb = None
+        if self.config.wandb:
+            try:  # optional dependency (ref trainer.py:425-435 wandb.init)
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=self.config.wandb_project,
+                    name=self.config.wandb_run_name or None,
+                    dir=self.config.log_dir,
+                    config=dataclasses.asdict(self.config),
+                )
+            except Exception as exc:  # noqa: BLE001
+                print(f"[trainer] wandb unavailable: {exc}")
 
     # -- checkpointing (orbax; ref trainer.py:834-907) ----------------------
 
@@ -227,6 +245,17 @@ class PWCLONetTrainer:
                 for k, v in record.items():
                     if isinstance(v, (int, float)) and np.isfinite(v):
                         self._tb.add_scalar(k, v, self.epoch)
+            if self._wandb is not None:
+                self._wandb.log(
+                    {
+                        k: v
+                        for k, v in record.items()
+                        if isinstance(v, (int, float)) and np.isfinite(v)
+                    },
+                    step=self.epoch,
+                )
             self.epoch += 1
         self.save_checkpoint("final")
+        if self._wandb is not None:
+            self._wandb.finish()
         return self.history
