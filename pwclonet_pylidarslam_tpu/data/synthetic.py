@@ -110,14 +110,16 @@ def lidar_directions(
     ).reshape(-1, 3)
 
 
-def make_trajectory(kind: str, n_frames: int, speed: float = 1.0) -> np.ndarray:
+def make_trajectory(
+    kind: str, n_frames: int, speed: float = 1.0, yaw_rate_deg: float = 0.5
+) -> np.ndarray:
     """Analytic GT trajectories ``(T, 4, 4)`` (vehicle frame: x forward)."""
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     if kind == "straight":
         for t in range(n_frames):
             poses[t, 0, 3] = speed * t
     elif kind == "curve":
-        # gentle left curve: yaw rate 0.5 deg/frame
+        # left curve at ``yaw_rate_deg`` per frame (default: gentle)
         yaw = 0.0
         pos = np.zeros(3)
         for t in range(n_frames):
@@ -125,7 +127,7 @@ def make_trajectory(kind: str, n_frames: int, speed: float = 1.0) -> np.ndarray:
             poses[t, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
             poses[t, :3, 3] = pos
             pos = pos + np.array([c, s, 0.0]) * speed
-            yaw += np.deg2rad(0.5)
+            yaw += np.deg2rad(yaw_rate_deg)
     elif kind == "circle":
         radius = speed * n_frames / (2 * np.pi)
         for t in range(n_frames):
@@ -153,6 +155,7 @@ class SyntheticSequenceConfig:
     n_frames: int = 50
     trajectory: str = "curve"
     speed: float = 1.0  # meters / frame
+    yaw_rate_deg: float = 0.5  # deg / frame (for "curve")
     num_beams: int = 32
     num_cols: int = 720
     noise_std: float = 0.01
@@ -192,7 +195,9 @@ def generate_sequence_with_times(
     rng = np.random.default_rng(config.seed)
     rects = world if world is not None else default_world(config.seed)
     dirs_sensor = lidar_directions(config.num_beams, config.num_cols)
-    poses = make_trajectory(config.trajectory, config.n_frames, config.speed)
+    poses = make_trajectory(
+        config.trajectory, config.n_frames, config.speed, config.yaw_rate_deg
+    )
     # column index of each ray in beam-major scan order -> intra-scan time
     col_of_ray = np.tile(np.arange(config.num_cols), config.num_beams)
     alpha_of_ray = col_of_ray.astype(np.float64) / config.num_cols

@@ -54,6 +54,16 @@ class ICPConfig:
     initial_assoc_distance: float = 4.0
     gn_iters_per_alignment: int = 1
     normal_kernel_size: int = 5
+    # BEV bootstrap: when the constant-velocity prior disagrees with a BEV
+    # spectral registration of the two latest scans by more than
+    # ``bev_yaw_threshold_deg``, the BEV estimate replaces the prior. Rescues
+    # fast-rotation frames (> a few deg/frame) where the CV prediction throws
+    # the association gate off by ``range × Δyaw`` meters. Runs fully
+    # in-graph (FFT phase correlation, core/registration.py); adds two
+    # 256²-FFT registrations per frame when enabled.
+    bev_bootstrap: bool = False
+    bev_yaw_threshold_deg: float = 1.5
+    bev_min_confidence: float = 2.0
 
 
 class OdometryState(NamedTuple):
@@ -62,6 +72,7 @@ class OdometryState(NamedTuple):
     last_rel: jax.Array  # (4, 4) last relative motion (constant-velocity prior)
     last_kf_pose: jax.Array  # (4, 4) pose of the last inserted keyframe
     frame_idx: jax.Array  # () int32
+    prev_scan: jax.Array  # (N, 3) previous raw scan (BEV bootstrap source)
 
 
 class FrameResult(NamedTuple):
@@ -79,6 +90,7 @@ def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
         last_rel=jnp.eye(4, dtype=dtype),
         last_kf_pose=jnp.eye(4, dtype=dtype),
         frame_idx=jnp.zeros((), jnp.int32),
+        prev_scan=jnp.zeros((config.num_points, 3), dtype),
     )
 
 
@@ -170,7 +182,31 @@ def process_frame(
     valid = (jnp.linalg.norm(points, axis=-1) > 1e-3).astype(dtype)
 
     # --- constant-velocity prediction (ref initialization.py:106-135)
-    predicted = state.pose @ state.last_rel
+    rel_prior = state.last_rel
+    if config.bev_bootstrap:
+        from pwclonet_pylidarslam_tpu.core.registration import (
+            BEVConfig,
+            planar_to_pose,
+            register_bev,
+        )
+
+        prev_valid = (jnp.linalg.norm(state.prev_scan, axis=-1) > 1e-3).astype(dtype)
+        reg = register_bev(
+            state.prev_scan, prev_valid, points, valid,
+            BEVConfig(pixel_size=0.4, image_size=256),
+        )
+        rel_bev = planar_to_pose(reg, dtype)
+        yaw_cv = jnp.arctan2(state.last_rel[1, 0], state.last_rel[0, 0])
+        dyaw = jnp.abs(
+            jnp.mod(reg.yaw - yaw_cv + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        ) * (180.0 / jnp.pi)
+        use_bev = (
+            (dyaw > config.bev_yaw_threshold_deg)
+            & (reg.confidence > config.bev_min_confidence)
+            & (state.frame_idx > 0)
+        )
+        rel_prior = jnp.where(use_bev, rel_bev, state.last_rel)
+    predicted = state.pose @ rel_prior
 
     # --- build model in the predicted frame and register
     model = lm.build_model_map(state.map, predicted, proj)
@@ -221,6 +257,7 @@ def process_frame(
         last_rel=rel,
         last_kf_pose=jnp.where(do_insert, new_pose, state.last_kf_pose),
         frame_idx=state.frame_idx + 1,
+        prev_scan=points,
     )
     return new_state, FrameResult(
         pose=new_pose,

@@ -29,6 +29,7 @@ class RunConfig:
     log_dir: str = "./slam_output"
     max_frames: int = 0  # 0 = all
     odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid
+    bev_bootstrap: bool = False  # in-graph BEV prior for fast rotation (icp only)
     with_loop_closure: bool = False
     with_backend: bool = False
     num_points: int = 8192
@@ -154,7 +155,14 @@ def main(argv: Optional[List[str]] = None):
                 elastic=config.odometry == "ct_icp",
             )
         )
-    elif config.odometry != "icp":
+    elif config.odometry == "icp":
+        if config.bev_bootstrap:
+            from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+
+            odometry = ICPOdometry(
+                ICPConfig(num_points=config.num_points, bev_bootstrap=True)
+            )
+    else:
         raise SystemExit(f"unknown odometry {config.odometry!r}")
     runner = SLAMRunner(runner_cfg, odometry=odometry)
     dump_config(config, f"{config.log_dir}/config.yaml") if _ensure_dir(config.log_dir) else None

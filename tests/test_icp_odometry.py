@@ -110,3 +110,48 @@ class TestICPOdometry:
         odo.process_next_frame(scans[1])  # larger -> subsample
         assert len(odo.results) == 2
         assert np.all(np.isfinite(odo.absolute_poses()))
+
+
+class TestBEVBootstrap:
+    """Fast-rotation rescue: at >6 deg/frame the constant-velocity prior
+    misses the association gate by range x dyaw; the in-graph BEV spectral
+    registration replaces the prior when they disagree."""
+
+    @pytest.fixture(scope="class")
+    def fast_turn(self):
+        cfg = SyntheticSequenceConfig(
+            n_frames=10, trajectory="curve", speed=0.8, yaw_rate_deg=12.0, seed=4
+        )
+        return generate_sequence(cfg)
+
+    @staticmethod
+    def _drift(pred, gt):
+        d = np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])
+        dist = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum()
+        return d / max(dist, 1e-9)
+
+    def test_rescues_fast_rotation(self, fast_turn):
+        scans, gt = fast_turn
+        boot = ICPOdometry(ICPConfig(bev_bootstrap=True))
+        boot.init()
+        boot.process_sequence(scans)
+        assert self._drift(boot.absolute_poses(), gt) < 0.01
+
+    def test_plain_cv_fails_fast_rotation(self, fast_turn):
+        """Guards the test premise: without the bootstrap this rate is
+        beyond the CV prior (if this starts passing, raise the yaw rate)."""
+        scans, gt = fast_turn
+        plain = ICPOdometry(ICPConfig())
+        plain.init()
+        plain.process_sequence(scans)
+        assert self._drift(plain.absolute_poses(), gt) > 0.03
+
+    def test_no_regression_on_gentle_motion(self):
+        cfg = SyntheticSequenceConfig(
+            n_frames=10, trajectory="curve", speed=1.0, seed=2
+        )
+        scans, gt = generate_sequence(cfg)
+        boot = ICPOdometry(ICPConfig(bev_bootstrap=True))
+        boot.init()
+        boot.process_sequence(scans)
+        assert self._drift(boot.absolute_poses(), gt) < 0.01
