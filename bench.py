@@ -33,13 +33,22 @@ def main():
     from pwclonet_pylidarslam_tpu.evaluation import metrics
     from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
 
-    chunk = 16
-    n_frames = 3 * chunk
+    chunk = 32
+    n_frames = 2 * chunk
     scans, gt = generate_sequence(
         SyntheticSequenceConfig(n_frames=n_frames, trajectory="curve", speed=1.2, seed=7)
     )
 
-    odo = ICPOdometry(ICPConfig(num_points=8192))
+    # tuned streaming config: keyframes stored at angular stride 2 (halves
+    # the model re-projection scatter, the dominant device cost) and scans
+    # shipped as int16 @ 3 mm (halves the host->device bytes — the wall-clock
+    # floor on a network-attached chip). Both verified against the drift gate.
+    odo = ICPOdometry(
+        ICPConfig(
+            num_points=8192, map_stride=2,
+            transfer_dtype="int16", transfer_scale=0.003,
+        )
+    )
     odo.init()
 
     # chunks run as ONE device dispatch each (lax.scan over frames) — the

@@ -481,7 +481,8 @@ class CTICPOdometry:
             self.state, results = self._seq_step(
                 self.state, jnp.asarray(scans), jnp.asarray(timestamps)
             )
-        results = jax.tree.map(np.asarray, results)
+        # ONE batched D2H fetch (per-leaf np.asarray = one tunnel RTT each)
+        results = jax.device_get(results)
         for t in range(scans.shape[0]):
             self.results.append(jax.tree.map(lambda x: x[t], results))
         return results.pose

@@ -64,6 +64,18 @@ class ICPConfig:
     bev_bootstrap: bool = False
     bev_yaw_threshold_deg: float = 1.5
     bev_min_confidence: float = 2.0
+    # keyframes enter the map angularly downsampled by this stride: the model
+    # re-projection (z-buffer scatter of K·N points) is the dominant per-frame
+    # device cost, and it scales linearly with stored points. Stride 2 halves
+    # it; the aggregated multi-keyframe model stays dense enough that the
+    # trajectory is unchanged on the synthetic benchmark (drift gate <1%).
+    map_stride: int = 1
+    # quantize scans to int16 for the host→device transfer (dequantized
+    # in-graph). Halves upload bytes — the upload is the wall-clock floor on
+    # a network-attached chip. 5 mm resolution, ±163 m range: below LiDAR
+    # sensor noise. "float32" disables.
+    transfer_dtype: str = "float32"  # float32 | int16
+    transfer_scale: float = 0.005  # meters / LSB for int16 transfers
 
 
 class OdometryState(NamedTuple):
@@ -85,7 +97,9 @@ class FrameResult(NamedTuple):
 
 def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
     return OdometryState(
-        map=lm.init_local_map(config.local_map_size, config.num_points, dtype),
+        map=lm.init_local_map(
+            config.local_map_size, config.num_points // config.map_stride, dtype
+        ),
         pose=jnp.eye(4, dtype=dtype),
         last_rel=jnp.eye(4, dtype=dtype),
         last_kf_pose=jnp.eye(4, dtype=dtype),
@@ -247,8 +261,9 @@ def process_frame(
     c_i = jnp.clip(jnp.round(cols[0]).astype(jnp.int32), 0, proj.width - 1)
     pt_normals = normal_map[r_i, c_i]
     pt_ok = valid * (jnp.linalg.norm(pt_normals, axis=-1) > 0.5)
+    st = config.map_stride
     new_map = lm.insert_keyframe(
-        state.map, points, pt_normals, pt_ok, new_pose, do_insert
+        state.map, points[::st], pt_normals[::st], pt_ok[::st], new_pose, do_insert
     )
 
     new_state = OdometryState(
@@ -302,11 +317,27 @@ class ICPOdometry:
         # donate the state: the ring-buffer maps (~20 MB) update in place on
         # device instead of being copied every frame
         self._step = jax.jit(
-            lambda state, pts: process_frame(self.config, state, pts),
+            lambda state, pts: process_frame(self.config, state, self._dequant(pts)),
             donate_argnums=0,
         )
         self.state: Optional[OdometryState] = None
         self.results: list = []
+
+    def _dequant(self, pts: jax.Array) -> jax.Array:
+        """In-graph dequantization of int16-transferred scans."""
+        if self.config.transfer_dtype == "int16":
+            return pts.astype(jnp.float32) * self.config.transfer_scale
+        return pts
+
+    def _quant(self, pts: np.ndarray) -> np.ndarray:
+        if self.config.transfer_dtype == "int16":
+            s = self.config.transfer_scale
+            q = np.round(pts / s)
+            # out-of-range returns become padding (zeros), NOT clamped —
+            # clamping would teleport far points onto the range boundary
+            in_range = np.all(np.abs(q) <= 32767, axis=-1, keepdims=True)
+            return np.where(in_range, q, 0.0).astype(np.int16)
+        return pts.astype(np.float32)
 
     def init(self):
         self.state = init_state(self.config)
@@ -314,7 +345,7 @@ class ICPOdometry:
 
     def process_next_frame(self, points: np.ndarray) -> np.ndarray:
         """Feed one scan ``(N, 3)``; returns the absolute 4×4 pose (numpy)."""
-        pts = self._fix_size(points)
+        pts = self._quant(self._fix_size(points))
         self.state, result = self._step(self.state, jnp.asarray(pts))
         self.results.append(result)
         return np.asarray(result.pose)
@@ -338,11 +369,17 @@ class ICPOdometry:
         """
         if not hasattr(self, "_seq_step"):
             self._seq_step = jax.jit(
-                lambda state, s: process_sequence(self.config, state, s),
+                lambda state, s: process_sequence(
+                    self.config, state, self._dequant(s)
+                ),
                 donate_argnums=0,
             )
-        self.state, results = self._seq_step(self.state, jnp.asarray(scans))
-        results = jax.tree.map(np.asarray, results)
+        self.state, results = self._seq_step(
+            self.state, jnp.asarray(self._quant(scans))
+        )
+        # ONE batched D2H fetch: per-leaf np.asarray pays a full tunnel
+        # round trip per array (~25 ms each on a network-attached TPU)
+        results = jax.device_get(results)
         for t in range(scans.shape[0]):
             self.results.append(jax.tree.map(lambda x: x[t], results))
         return results.pose

@@ -155,3 +155,32 @@ class TestBEVBootstrap:
         boot.init()
         boot.process_sequence(scans)
         assert self._drift(boot.absolute_poses(), gt) < 0.01
+
+
+class TestStreamingOptimizations:
+    """The tuned streaming config (strided map inserts + int16 scan
+    transfer) must not cost accuracy."""
+
+    def test_strided_map_and_int16_transfer(self):
+        cfg = SyntheticSequenceConfig(
+            n_frames=12, trajectory="curve", speed=1.2, seed=7
+        )
+        scans, gt = generate_sequence(cfg)
+        odo = ICPOdometry(
+            ICPConfig(map_stride=2, transfer_dtype="int16", transfer_scale=0.003)
+        )
+        odo.init()
+        odo.process_sequence(scans)
+        pred = odo.absolute_poses()
+        d = np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])
+        dist = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum()
+        assert d / dist < 0.01
+
+    def test_int16_out_of_range_points_become_padding(self):
+        cfg = ICPConfig(transfer_dtype="int16", transfer_scale=0.003)
+        odo = ICPOdometry(cfg)
+        pts = np.array([[1.0, 2.0, 3.0], [500.0, 0.0, 0.0]], np.float32)
+        q = odo._quant(pts)
+        assert q.dtype == np.int16
+        np.testing.assert_array_equal(q[1], 0)  # dropped, not clamped
+        np.testing.assert_allclose(q[0] * 0.003, pts[0], atol=0.002)
