@@ -4,3 +4,10 @@ from pwclonet_pylidarslam_tpu.train.losses import (  # noqa: F401
     PWCLONetLossConfig,
     pwclonet_loss,
 )
+from pwclonet_pylidarslam_tpu.train.posenet_state import (  # noqa: F401
+    PoseNetTrainConfig,
+    PoseNetTrainState,
+    create_posenet_train_state,
+    posenet_eval_step,
+    posenet_train_step,
+)

@@ -1,18 +1,20 @@
-"""PWCLO-Net trainer: epoch loop, eval, checkpointing, in-training metrics.
+"""Trainers: epoch loop, eval, checkpointing, in-training metrics.
 
 Port of the reference's ``ATrainer``/``PWCLONetTrainer`` semantics
 (``slam/training/trainer.py:147-1123``, ``train.py:223-1002``) on the
-functional train state of ``train/state.py``:
+functional train states of ``train/state.py`` / ``train/posenet_state.py``:
 
-- epoch loop with train/eval phases and average meters;
-- non-finite-loss steps skipped in-graph (ref trainer.py:614-631);
-- checkpoints via **orbax**: periodic, best-train, best-eval and final
-  (ref trainer.py:456-512), holding the full TrainState + counters;
-- in-training KITTI-style metrics: accumulated per-frame relative pose
-  predictions chained into trajectories and scored with the segment metric
-  (ref train.py:362-389, 457-533);
-- BN-momentum and cosine LR schedules are step-driven inside the jitted
-  train step (``make_schedules``).
+- ``BaseTrainer``: epoch loop with train/eval phases and average meters
+  (ref ``ATrainer.train:406-535``), non-finite-loss steps skipped in-graph
+  (ref trainer.py:614-631), checkpoints via **orbax** — periodic, best-train,
+  best-eval and final (ref trainer.py:456-512) — holding the full TrainState
+  + counters, optional TensorBoard/wandb logging (ref trainer.py:359-369,
+  425-435);
+- in-training KITTI-style metrics shared by all trainers: accumulated
+  per-frame relative pose predictions chained into trajectories and scored
+  with the segment metric (ref train.py:362-389, 457-533);
+- ``PWCLONetTrainer``: BN-momentum and cosine LR schedules step-driven inside
+  the jitted train step (``make_schedules``).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -71,44 +73,54 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
-class PWCLONetTrainer:
-    def __init__(self, config: Optional[TrainerConfig] = None):
-        self.config = config or TrainerConfig()
-        os.makedirs(self.config.log_dir, exist_ok=True)
-        self.model, self.state = create_train_state(
-            self.config.train, jax.random.key(self.config.seed)
-        )
-        self._train_step = jax.jit(
-            lambda s, b, r: train_step(self.model, self.config.train, s, b, r)
-        )
-        self._eval_step = jax.jit(
-            lambda s, b: eval_step(self.model, self.config.train, s, b)
-        )
+class BaseTrainer:
+    """Shared plumbing for the deep-odometry trainers (ref ``ATrainer``).
+
+    Subclasses set ``self.state`` plus jitted ``self._train_step(state,
+    batch, rng)`` / ``self._eval_step(state, batch)`` and implement
+    ``_relative_poses(pred, batch)`` mapping an eval-step prediction to
+    ``(pred_rel, gt_rel)`` 4×4 matrices for the KITTI in-training metrics.
+    """
+
+    def __init__(self, config):
+        self.config = config
+        os.makedirs(config.log_dir, exist_ok=True)
         self.epoch = 0
         self.best_train_loss = float("inf")
         self.best_eval_loss = float("inf")
         self.history: List[Dict] = []
         self._tb = None
-        if self.config.tensorboard:
+        if config.tensorboard:
             try:  # optional dependency (ref trainer.py:359-369 SummaryWriter)
                 from torch.utils.tensorboard import SummaryWriter
 
-                self._tb = SummaryWriter(os.path.join(self.config.log_dir, "tb"))
+                self._tb = SummaryWriter(os.path.join(config.log_dir, "tb"))
             except Exception as exc:  # noqa: BLE001
                 print(f"[trainer] tensorboard unavailable: {exc}")
         self._wandb = None
-        if self.config.wandb:
+        if config.wandb:
             try:  # optional dependency (ref trainer.py:425-435 wandb.init)
                 import wandb
 
                 self._wandb = wandb.init(
-                    project=self.config.wandb_project,
-                    name=self.config.wandb_run_name or None,
-                    dir=self.config.log_dir,
-                    config=dataclasses.asdict(self.config),
+                    project=config.wandb_project,
+                    name=config.wandb_run_name or None,
+                    dir=config.log_dir,
+                    config=dataclasses.asdict(config),
                 )
             except Exception as exc:  # noqa: BLE001
                 print(f"[trainer] wandb unavailable: {exc}")
+
+    # -- hooks ---------------------------------------------------------------
+
+    def _relative_poses(
+        self, pred: jax.Array, batch: Dict
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        raise NotImplementedError
+
+    @staticmethod
+    def _batch_size(batch: Dict) -> int:
+        return int(next(iter(batch.values())).shape[0])
 
     # -- checkpointing (orbax; ref trainer.py:834-907) ----------------------
 
@@ -170,7 +182,7 @@ class PWCLONetTrainer:
             self.state, log = self._train_step(self.state, batch, rng)
             loss = float(log["loss"])
             if np.isfinite(loss):
-                meter.update(loss, n=batch["xyz1"].shape[0])
+                meter.update(loss, n=self._batch_size(batch))
             else:
                 skipped += 1
         if skipped:
@@ -183,10 +195,11 @@ class PWCLONetTrainer:
         for batch in batches:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             pred, log = self._eval_step(self.state, batch)
-            meter.update(float(log["loss"]), n=batch["xyz1"].shape[0])
-            # finest level params -> relative pose matrices
-            rel_pred.append(np.asarray(se3.params_to_pose_quat(pred[:, 0, :])))
-            rel_gt.append(np.asarray(se3.params_to_pose_quat(batch["gt_params"])))
+            meter.update(float(log["loss"]), n=self._batch_size(batch))
+            rel = self._relative_poses(pred, batch)
+            if rel is not None:
+                rel_pred.append(rel[0])
+                rel_gt.append(rel[1])
         out = {"eval_loss": meter.average}
         if rel_pred:
             rp = np.concatenate(rel_pred)
@@ -259,3 +272,24 @@ class PWCLONetTrainer:
         if self._wandb is not None:
             self._wandb.finish()
         return self.history
+
+
+class PWCLONetTrainer(BaseTrainer):
+    def __init__(self, config: Optional[TrainerConfig] = None):
+        super().__init__(config or TrainerConfig())
+        self.model, self.state = create_train_state(
+            self.config.train, jax.random.key(self.config.seed)
+        )
+        self._train_step = jax.jit(
+            lambda s, b, r: train_step(self.model, self.config.train, s, b, r)
+        )
+        self._eval_step = jax.jit(
+            lambda s, b: eval_step(self.model, self.config.train, s, b)
+        )
+
+    def _relative_poses(self, pred, batch):
+        # finest level params -> relative pose matrices
+        return (
+            np.asarray(se3.params_to_pose_quat(pred[:, 0, :])),
+            np.asarray(se3.params_to_pose_quat(batch["gt_params"])),
+        )

@@ -31,6 +31,7 @@ import numpy as np
 class Config:
     do_train: bool = False
     do_test: bool = False
+    model: str = "pwclonet"  # pwclonet | posenet (ref train.py:77-143 vs :223-…)
     dataset: str = "synthetic"  # synthetic | kitti
     root_dir: str = ""
     train_sequences: str = "0,1,2,3,4,5,6"
@@ -45,6 +46,10 @@ class Config:
     seed: int = 0
     # synthetic smoke-training shape knobs
     synthetic_batches: int = 8
+    # PoseNet-specific knobs (ref PoseNetTrainer, train.py:77-143)
+    posenet_loss: str = "supervised"  # supervised | unsupervised
+    vm_height: int = 64
+    vm_width: int = 720
 
 
 def _seqs(s: str) -> List[int]:
@@ -88,7 +93,127 @@ def make_batch_fns(config: Config, model_cfg):
     )
 
 
+def make_posenet_batch_fns(config: Config, projector):
+    """Vertex-map pair batches (consecutive frames + relative GT)."""
+    from pwclonet_pylidarslam_tpu.data.vm_pairs import (
+        VertexMapPairDataset,
+        concat_pair_datasets,
+    )
+
+    def from_sequences(seq_ids, seed):
+        datasets = []
+        if config.dataset == "synthetic":
+            from pwclonet_pylidarslam_tpu.data.synthetic import (
+                SyntheticSequenceConfig,
+                generate_sequence,
+            )
+
+            scans, gt = generate_sequence(
+                SyntheticSequenceConfig(n_frames=16 + 2 * config.synthetic_batches,
+                                        seed=seed)
+            )
+            datasets.append(VertexMapPairDataset.from_scans(scans, gt, projector,
+                                                            num_points=scans.shape[1]))
+        else:
+            from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+            for s in seq_ids:
+                seq = KittiSequence(config.root_dir, s)
+                scans = [seq.scan(i) for i in range(len(seq))]
+                datasets.append(
+                    VertexMapPairDataset.from_scans(scans, seq.ground_truth(), projector)
+                )
+        return concat_pair_datasets(datasets)
+
+    train_ds = from_sequences(_seqs(config.train_sequences), config.seed)
+    eval_ds = from_sequences(_seqs(config.eval_sequences), config.seed + 1)
+    epoch = [0]
+
+    def train_fn():
+        epoch[0] += 1
+        return train_ds.batches(config.batch_size, shuffle=True, seed=epoch[0])
+
+    return train_fn, (lambda: eval_ds.batches(config.batch_size, shuffle=False))
+
+
+def run_train_posenet(config: Config) -> int:
+    from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+    from pwclonet_pylidarslam_tpu.train.posenet_state import PoseNetTrainConfig
+    from pwclonet_pylidarslam_tpu.train.posenet_trainer import (
+        PoseNetTrainer,
+        PoseNetTrainerConfig,
+    )
+    from pwclonet_pylidarslam_tpu.utils.config import dump_config
+
+    projector = SphericalProjector(height=config.vm_height, width=config.vm_width)
+    trainer = PoseNetTrainer(
+        PoseNetTrainerConfig(
+            train=PoseNetTrainConfig(
+                loss=config.posenet_loss,
+                projector=projector,
+                learning_rate=config.learning_rate,
+            ),
+            vm_shape=(config.vm_height, config.vm_width),
+            num_epochs=config.num_epochs,
+            log_dir=config.log_dir,
+            seed=config.seed,
+        )
+    )
+    dump_config(config, f"{config.log_dir}/config.yaml")
+    train_fn, eval_fn = make_posenet_batch_fns(config, projector)
+    history = trainer.fit(train_fn, eval_fn)
+    last = history[-1]
+    print(
+        f"done: epoch {last['epoch']} train_loss={last['train_loss']:.4f} "
+        f"eval_loss={last.get('eval_loss', float('nan')):.4f}"
+    )
+    return 0
+
+
+def run_test_posenet(config: Config) -> int:
+    """PoseResNet odometry over sequences with a trained checkpoint
+    (ref ``posenet_odometry.py:46-122`` + eval)."""
+    from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+    from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
+    from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+        PoseNetOdometry,
+        PoseNetOdometryConfig,
+    )
+    from pwclonet_pylidarslam_tpu.train.posenet_state import PoseNetTrainConfig
+    from pwclonet_pylidarslam_tpu.train.posenet_trainer import (
+        PoseNetTrainer,
+        PoseNetTrainerConfig,
+    )
+
+    projector = SphericalProjector(height=config.vm_height, width=config.vm_width)
+    trainer = PoseNetTrainer(
+        PoseNetTrainerConfig(
+            train=PoseNetTrainConfig(projector=projector),
+            vm_shape=(config.vm_height, config.vm_width),
+            log_dir=config.log_dir,
+        )
+    )
+    trainer.load_checkpoint()
+    odo = PoseNetOdometry(
+        trainer.odometry_variables(), PoseNetOdometryConfig(projector=projector)
+    )
+    results = OdometryResults(f"{config.log_dir}/test")
+    from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+    for s in _seqs(config.test_sequences):
+        seq = KittiSequence(config.root_dir, s)
+        odo.init()
+        for i in range(len(seq)):
+            odo.process_next_frame(seq.scan(i))
+        md = results.add_sequence(f"{s:02d}", odo.absolute_poses(), seq.ground_truth())
+        if md:
+            print(f"seq {s:02d}: t_rel={md['tr_err']:.4f}% ATE={md['ATE']:.4f}")
+    return 0
+
+
 def run_train(config: Config) -> int:
+    if config.model == "posenet":
+        return run_train_posenet(config)
     from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
     from pwclonet_pylidarslam_tpu.train.state import TrainConfig
     from pwclonet_pylidarslam_tpu.train.trainer import PWCLONetTrainer, TrainerConfig
@@ -124,6 +249,8 @@ def run_train(config: Config) -> int:
 def run_test(config: Config) -> int:
     """Test a trained model: PWCLO-Net odometry over sequences + KITTI eval
     (ref train.py:798-1002)."""
+    if config.model == "posenet":
+        return run_test_posenet(config)
     import jax
 
     from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
