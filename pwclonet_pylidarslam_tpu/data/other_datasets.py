@@ -291,8 +291,18 @@ class FordCampusSequence:
 # ---------------------------------------------------------------------------
 
 
-def read_ply_xyz(path: str) -> np.ndarray:
-    """Minimal binary/ascii PLY reader for xyz point clouds (no plyfile dep)."""
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def read_ply(path: str) -> np.ndarray:
+    """Typed binary/ascii PLY reader (no plyfile dep): returns a structured
+    array with one field per vertex property (mixed dtypes supported — the
+    CT-ICP PLY frames mix float coordinates with integer labels)."""
     with open(path, "rb") as f:
         header = []
         while True:
@@ -301,15 +311,40 @@ def read_ply_xyz(path: str) -> np.ndarray:
             if line == "end_header":
                 break
         n = next(int(l.split()[-1]) for l in header if l.startswith("element vertex"))
-        props = [l.split()[2] for l in header if l.startswith("property")]
+        props = [l.split()[1:] for l in header if l.startswith("property ")]
         fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        endian = "<" if "little" in fmt or fmt == "ascii" else ">"
+        dtype = np.dtype([(name, endian + _PLY_TYPES[t]) for t, name in props])
         if fmt == "ascii":
-            data = np.loadtxt(f, max_rows=n)
-        else:
-            dt = "<f4" if "little" in fmt else ">f4"
-            data = np.frombuffer(f.read(n * len(props) * 4), dtype=dt).reshape(n, len(props))
-        cols = [props.index(c) for c in ("x", "y", "z")]
-        return np.ascontiguousarray(data[:, cols].astype(np.float32))
+            flat = np.loadtxt(f, max_rows=n, ndmin=2)
+            out = np.zeros(n, dtype)
+            for i, (_, name) in enumerate(props):
+                out[name] = flat[:, i]
+            return out
+        return np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype)
+
+
+def write_ply(path: str, data: np.ndarray) -> None:
+    """Binary little-endian PLY writer for structured arrays (fixtures +
+    export; counterpart of :func:`read_ply`)."""
+    inv = {v: k for k, v in _PLY_TYPES.items()}
+    lines = ["ply", "format binary_little_endian 1.0",
+             f"element vertex {len(data)}"]
+    for name in data.dtype.names:
+        kind = data.dtype[name].newbyteorder("<").str.lstrip("<>|=")
+        lines.append(f"property {inv[kind]} {name}")
+    lines.append("end_header")
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode("ascii"))
+        f.write(np.ascontiguousarray(data.astype(data.dtype.newbyteorder("<"))).tobytes())
+
+
+def read_ply_xyz(path: str) -> np.ndarray:
+    """xyz float32 view of a PLY point cloud."""
+    data = read_ply(path)
+    return np.ascontiguousarray(
+        np.stack([data["x"], data["y"], data["z"]], axis=-1).astype(np.float32)
+    )
 
 
 @dataclasses.dataclass
@@ -358,3 +393,125 @@ class NHCDSequence:
         poses[:, :3, :3] = R.from_quat(qxyzw[idx]).as_matrix()
         poses[:, :3, 3] = xyz[idx]
         return np.einsum("ij,tjk->tik", np.linalg.inv(poses[0]), poses)
+
+
+# ---------------------------------------------------------------------------
+# Generic PLY-frame directories (CT-ICP dataset formats)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PLYDirSequence:
+    """Directory of per-frame PLY scans — the CT-ICP ``PLY_DIR`` dataset
+    (ref ``slam/dataset/ct_icp_dataset.py:217-218``, which delegates to the
+    external ``pyct_icp`` binary; here a native reader).
+
+    - frames: every ``*.ply`` under ``scan_dir``, lexicographically sorted;
+    - optional per-point intra-scan timestamps: any of the property names in
+      ``time_props`` found in the PLY, min-max normalized to [0, 1] per frame
+      (consumed by the elastic CT-ICP odometry / de-skew filters);
+    - optional GT: ``poses_file`` with KITTI-style rows of 12 floats
+      (flattened 3×4), or 13 columns (timestamp first) — extra columns
+      beyond the pose are ignored.
+    """
+
+    scan_dir: str
+    poses_file: Optional[str] = None
+    time_props: tuple = ("timestamp", "time", "t")
+
+    def __post_init__(self):
+        self.files = sorted(
+            f for f in os.listdir(self.scan_dir) if f.endswith(".ply")
+        )
+
+    def __len__(self):
+        return len(self.files)
+
+    def _read(self, idx: int) -> np.ndarray:
+        return read_ply(os.path.join(self.scan_dir, self.files[idx]))
+
+    def scan(self, idx: int) -> np.ndarray:
+        data = self._read(idx)
+        return np.ascontiguousarray(
+            np.stack([data["x"], data["y"], data["z"]], -1).astype(np.float32)
+        )
+
+    def scan_with_timestamps(self, idx: int):
+        """(points (N,3), alphas (N,) in [0,1] or None)."""
+        data = self._read(idx)
+        pts = np.ascontiguousarray(
+            np.stack([data["x"], data["y"], data["z"]], -1).astype(np.float32)
+        )
+        name = next((p for p in self.time_props if p in (data.dtype.names or ())), None)
+        if name is None:
+            return pts, None
+        t = data[name].astype(np.float64)
+        lo, hi = float(t.min()), float(t.max())
+        alphas = np.zeros(len(t), np.float32) if hi <= lo else (
+            (t - lo) / (hi - lo)
+        ).astype(np.float32)
+        return pts, alphas
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        if self.poses_file is None or not os.path.exists(self.poses_file):
+            return None
+        raw = np.loadtxt(self.poses_file, ndmin=2)
+        flat = raw[:, 1:13] if raw.shape[1] >= 13 else raw[:, :12]
+        poses = np.tile(np.eye(4), (len(flat), 1, 1))
+        poses[:, :3, :4] = flat.reshape(-1, 3, 4)
+        # rebase into the first frame like the other readers
+        return np.einsum("ij,tjk->tik", np.linalg.inv(poses[0]), poses)
+
+
+@dataclasses.dataclass
+class KittiCarlaSequence:
+    """KITTI-CARLA (CT-ICP layout): ``<root>/Town<NN>/frames/frame_*.ply``
+    with per-point ``timestamp`` and a ``full_poses.txt`` GT log of
+    timestamped 3×4 lidar poses (ref ``ct_icp_dataset.py:199-209`` sequence
+    mapping; the reader itself lives in the external pyct_icp binary).
+
+    GT per frame = pose row whose timestamp is nearest the frame's last
+    point timestamp (end-of-sweep convention, matching the elastic odometry
+    states).
+    """
+
+    root_dir: str
+    town: int = 1
+
+    def __post_init__(self):
+        base = os.path.join(self.root_dir, f"Town{self.town:02d}")
+        self._seq = PLYDirSequence(os.path.join(base, "frames"))
+        self._poses_path = os.path.join(base, "full_poses.txt")
+
+    def __len__(self):
+        return len(self._seq)
+
+    def scan(self, idx: int) -> np.ndarray:
+        return self._seq.scan(idx)
+
+    def scan_with_timestamps(self, idx: int):
+        return self._seq.scan_with_timestamps(idx)
+
+    def _frame_end_time(self, idx: int) -> float:
+        data = self._seq._read(idx)
+        names = data.dtype.names or ()
+        return float(data["timestamp"].max()) if "timestamp" in names else float(idx)
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        if not os.path.exists(self._poses_path):
+            return None
+        raw = np.loadtxt(self._poses_path, ndmin=2)
+        if raw.shape[1] >= 13:  # timestamped rows
+            gt_times, flat = raw[:, 0], raw[:, 1:13]
+        else:
+            gt_times, flat = np.arange(len(raw), dtype=np.float64), raw[:, :12]
+        poses = np.tile(np.eye(4), (len(flat), 1, 1))
+        poses[:, :3, :4] = flat.reshape(-1, 3, 4)
+        times = np.asarray([self._frame_end_time(i) for i in range(len(self))])
+        hi = np.clip(np.searchsorted(gt_times, times), 0, len(gt_times) - 1)
+        lo = np.maximum(hi - 1, 0)
+        idx = np.where(
+            np.abs(gt_times[hi] - times) <= np.abs(gt_times[lo] - times), hi, lo
+        )
+        sel = poses[idx]
+        return np.einsum("ij,tjk->tik", np.linalg.inv(sel[0]), sel)

@@ -22,7 +22,7 @@ from typing import List, Optional
 
 @dataclasses.dataclass
 class RunConfig:
-    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | nclt | ford | nhcd | rosbag | urbanloco
+    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | nclt | ford | nhcd | rosbag | urbanloco | ply_dir | kitti_carla
     root_dir: str = ""
     rosbag_topic: str = "/velodyne_points"
     sequences: str = "0"  # comma-separated
@@ -118,6 +118,22 @@ def build_sources(config: RunConfig):
             sources[s.rsplit("/", 1)[-1].removesuffix(".bag")] = UrbanLocoSequence(
                 path, acq, num_points=config.num_points
             )
+    elif config.dataset == "ply_dir":
+        import os
+
+        from pwclonet_pylidarslam_tpu.data.other_datasets import PLYDirSequence
+
+        for s in seqs:  # each "sequence" is a scan dir relative to root_dir
+            scan_dir = os.path.join(config.root_dir, s) if config.root_dir else s
+            poses = os.path.join(os.path.dirname(scan_dir.rstrip("/")), "poses.txt")
+            sources[s.rstrip("/").rsplit("/", 1)[-1]] = PLYDirSequence(
+                scan_dir, poses if os.path.exists(poses) else None
+            )
+    elif config.dataset == "kitti_carla":
+        from pwclonet_pylidarslam_tpu.data.other_datasets import KittiCarlaSequence
+
+        for s in seqs:
+            sources[f"Town{int(s):02d}"] = KittiCarlaSequence(config.root_dir, int(s))
     else:
         raise SystemExit(f"unknown dataset {config.dataset!r}")
     return sources
