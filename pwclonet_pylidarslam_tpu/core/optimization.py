@@ -235,6 +235,7 @@ def gauss_newton_se3(
     eps: float = 1e-4,
     damping: float = 1e-9,
     match_distances: Optional[jax.Array] = None,
+    psum_axis: Optional[str] = None,
 ) -> SE3GNResult:
     """Gauss-Newton on the SE(3) manifold with multiplicative updates.
 
@@ -244,6 +245,12 @@ def gauss_newton_se3(
     ``pose ← exp(δ)·pose`` — the parameterization is re-centered every step,
     so the analytic jacobian is exact everywhere (unlike additive updates on
     twist coordinates).
+
+    ``psum_axis``: when called under ``shard_map`` with the point axis sharded
+    over a mesh axis, set this to that axis name — the per-shard normal
+    equations (H, g) and final cost are psum'd so every device solves the
+    identical replicated 6×6 system (the point-sharded ICP of
+    ``parallel/sharded_icp.py``).
     """
 
     def body(state):
@@ -255,6 +262,9 @@ def gauss_newton_se3(
         hp = jax.lax.Precision.HIGHEST  # TPU f32 einsum defaults to bf16 passes
         h = jnp.einsum("bnd,bne->bde", wjac, wjac, precision=hp)
         g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)
+        if psum_axis is not None:
+            h = jax.lax.psum(h, psum_axis)
+            g = jax.lax.psum(g, psum_axis)
         lam = damping * (jnp.trace(h, axis1=-2, axis2=-1) / 6.0 + 1.0)
         h = h + lam[..., None, None] * jnp.eye(6, dtype=h.dtype)
         dx = -jnp.linalg.solve(h, g[..., None])[..., 0]
@@ -275,6 +285,8 @@ def gauss_newton_se3(
     res, _ = residual_jac_fn(pose)
     w = robust_weights(res, scheme, sigma, eps, match_distances)
     cost = jnp.sum((res * w) ** 2, axis=-1)
+    if psum_axis is not None:
+        cost = jax.lax.psum(cost, psum_axis)
     return SE3GNResult(pose=pose, cost=cost, num_iters=jnp.broadcast_to(it, (b,)), converged=converged)
 
 

@@ -16,3 +16,7 @@ from pwclonet_pylidarslam_tpu.parallel.data_parallel import (  # noqa: F401
     shard_batch,
     replicate_state,
 )
+from pwclonet_pylidarslam_tpu.parallel.sharded_icp import (  # noqa: F401
+    solve_point_to_plane_sharded,
+    solve_point_to_point_sharded,
+)

@@ -100,3 +100,62 @@ def test_sharded_pgo_rejects_bad_capacity():
     gt, graph = _circle_graph(max_edges=63)  # not divisible by 8
     with pytest.raises(ValueError, match="divisible"):
         optimize_sharded(graph, make_mesh())
+
+
+def _plane_world(rng, n=512):
+    """Random points on a few planes + their normals, plus a small SE(3)."""
+    from pwclonet_pylidarslam_tpu.core import se3
+
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    target = rng.normal(size=(n, 3)).astype(np.float64) * 5.0
+    twist = np.asarray([0.05, -0.03, 0.02, 0.01, -0.02, 0.015])
+    true_pose = np.asarray(se3.exp(jnp.asarray(twist)[None])[0])
+    inv = np.linalg.inv(true_pose)
+    source = target @ inv[:3, :3].T + inv[:3, 3]
+    return (
+        jnp.asarray(source, jnp.float32)[None],
+        jnp.asarray(target, jnp.float32)[None],
+        jnp.asarray(normals, jnp.float32)[None],
+        true_pose,
+    )
+
+
+def test_sharded_icp_matches_single_device():
+    from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_plane
+    from pwclonet_pylidarslam_tpu.parallel import solve_point_to_plane_sharded
+
+    rng = np.random.default_rng(3)
+    source, target, normals, true_pose = _plane_world(rng)
+    mask = jnp.ones(source.shape[:2], jnp.float32).at[:, -17:].set(0.0)
+
+    ref = solve_point_to_plane(source, target, normals, mask=mask)
+    mesh = make_mesh()
+    out = solve_point_to_plane_sharded(source, target, normals, mesh, mask=mask)
+
+    np.testing.assert_allclose(np.asarray(out.pose), np.asarray(ref.pose), atol=1e-6)
+    np.testing.assert_allclose(float(out.cost[0]), float(ref.cost[0]), rtol=1e-5, atol=1e-9)
+    # and it actually recovers the ground-truth pose
+    np.testing.assert_allclose(np.asarray(out.pose[0]), true_pose, atol=1e-4)
+
+
+def test_sharded_icp_point_to_point():
+    from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_point
+    from pwclonet_pylidarslam_tpu.parallel import solve_point_to_point_sharded
+
+    rng = np.random.default_rng(4)
+    source, target, _, true_pose = _plane_world(rng)
+    ref = solve_point_to_point(source, target)
+    mesh = make_mesh()
+    out = solve_point_to_point_sharded(source, target, mesh)
+    np.testing.assert_allclose(np.asarray(out.pose), np.asarray(ref.pose), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.pose[0]), true_pose, atol=1e-4)
+
+
+def test_sharded_icp_rejects_bad_capacity():
+    from pwclonet_pylidarslam_tpu.parallel import solve_point_to_plane_sharded
+
+    mesh = make_mesh()
+    x = jnp.zeros((1, 100, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        solve_point_to_plane_sharded(x, x, x, mesh)
