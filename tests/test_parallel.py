@@ -159,3 +159,14 @@ def test_sharded_icp_rejects_bad_capacity():
     x = jnp.zeros((1, 100, 3))
     with pytest.raises(ValueError, match="divisible"):
         solve_point_to_plane_sharded(x, x, x, mesh)
+
+
+def test_scaling_harness_tiny():
+    from pwclonet_pylidarslam_tpu.parallel.scaling import ScalingConfig, measure_scaling
+
+    records = measure_scaling(
+        ScalingConfig(tiny=True, batch_per_device=2, steps=2, warmup_steps=1, sizes=(1, 2))
+    )
+    assert [r["devices"] for r in records] == [1, 2]
+    assert records[0]["efficiency"] == 1.0
+    assert all(r["pairs_per_s"] > 0 for r in records)
