@@ -40,13 +40,16 @@ def main():
     )
 
     # tuned streaming config: keyframes stored at angular stride 2 (halves
-    # the model re-projection scatter, the dominant device cost) and scans
+    # the model re-projection scatter, the dominant device cost), scans
     # shipped as int16 @ 3 mm (halves the host->device bytes — the wall-clock
-    # floor on a network-attached chip). Both verified against the drift gate.
+    # floor on a network-attached chip), and lazy model rebuilds (the cached
+    # model map is re-scattered only after 4 m / 5 deg of motion; association
+    # runs in the cached frame). All verified against the drift gate.
     odo = ICPOdometry(
         ICPConfig(
             num_points=8192, map_stride=2,
             transfer_dtype="int16", transfer_scale=0.003,
+            model_rebuild_trans=4.0, model_rebuild_rot=5.0,
         )
     )
     odo.init()

@@ -76,6 +76,18 @@ class ICPConfig:
     # sensor noise. "float32" disables.
     transfer_dtype: str = "float32"  # float32 | int16
     transfer_scale: float = 0.005  # meters / LSB for int16 transfers
+    # lazy model re-projection: keep the aggregated model map cached in the
+    # frame it was last built in and only re-scatter (the dominant device
+    # cost, ~60% of the step) once the sensor has moved more than
+    # ``model_rebuild_trans`` meters / ``model_rebuild_rot`` degrees from
+    # that frame. Registration then runs in the cached frame (the GN delta
+    # is initialized at ``model_pose⁻¹·predicted`` instead of identity) —
+    # projective association only needs ONE common frame, so a bounded-stale
+    # vantage costs only disocclusion matches, which the distance gate
+    # already rejects. 0/0 = rebuild every frame (reference behavior,
+    # ``ProjectiveLocalMap.build_model`` per frame, local_map.py:177-202).
+    model_rebuild_trans: float = 0.0  # meters
+    model_rebuild_rot: float = 0.0  # degrees
 
 
 class OdometryState(NamedTuple):
@@ -85,6 +97,9 @@ class OdometryState(NamedTuple):
     last_kf_pose: jax.Array  # (4, 4) pose of the last inserted keyframe
     frame_idx: jax.Array  # () int32
     prev_scan: jax.Array  # (N, 3) previous raw scan (BEV bootstrap source)
+    model: jax.Array  # (H, W, 6) cached aggregated model map
+    model_pose: jax.Array  # (4, 4) frame the cached model was built in
+    model_valid: jax.Array  # () float 0/1 — cache holds a real model
 
 
 class FrameResult(NamedTuple):
@@ -105,6 +120,11 @@ def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
         last_kf_pose=jnp.eye(4, dtype=dtype),
         frame_idx=jnp.zeros((), jnp.int32),
         prev_scan=jnp.zeros((config.num_points, 3), dtype),
+        model=jnp.zeros(
+            (config.projector.height, config.projector.width, 6), dtype
+        ),
+        model_pose=jnp.eye(4, dtype=dtype),
+        model_valid=jnp.zeros((), dtype),
     )
 
 
@@ -113,14 +133,16 @@ def _register(
     model: jax.Array,
     points: jax.Array,
     mask: jax.Array,
+    init_delta: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Iterated associate + point-to-plane GN against the model map.
 
-    ``points (N,3)`` live in the *predicted* frame (the model was built
-    there); returns the residual correction ``delta (4,4)`` such that the
-    refined frame pose is ``predicted_pose @ delta`` … expressed in the
-    predicted frame: ``delta`` maps current-scan coordinates to model
-    coordinates. Also returns (num_matches, cost) of the final iteration.
+    Returns the correction ``delta (4,4)`` mapping current-scan coordinates
+    to model-map coordinates, so the refined frame pose is
+    ``model_pose @ delta``. ``init_delta`` seeds the iteration (identity when
+    the model was built in the predicted frame; ``model_pose⁻¹·predicted``
+    under lazy rebuilds). Also returns (num_matches, cost) of the final
+    iteration.
     """
     proj = config.projector
 
@@ -168,7 +190,7 @@ def _register(
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.eye(4, dtype=points.dtype),
+        jnp.eye(4, dtype=points.dtype) if init_delta is None else init_delta,
         jnp.zeros((), bool),
         jnp.zeros((), points.dtype),
         jnp.zeros((), points.dtype),
@@ -222,14 +244,32 @@ def process_frame(
         rel_prior = jnp.where(use_bev, rel_bev, state.last_rel)
     predicted = state.pose @ rel_prior
 
-    # --- build model in the predicted frame and register
-    model = lm.build_model_map(state.map, predicted, proj)
-    delta, num_matches, cost = _register(config, model, points, valid)
-    # refined absolute pose: scan -> predicted frame via delta, then predicted -> world
-    new_pose = se3.normalize(predicted @ delta)
+    # --- model map: rebuild when the cache is stale (lazy) or always
+    # (reference behavior, thresholds 0). The staleness test compares the
+    # predicted pose to the frame the cached model was built in.
+    empty_map = jnp.sum(state.map.valid) == 0
+    stale_tw = se3.log((se3.inverse(state.model_pose) @ predicted)[None])[0]
+    stale = jnp.logical_or(
+        jnp.linalg.norm(stale_tw[:3]) > config.model_rebuild_trans,
+        jnp.linalg.norm(stale_tw[3:]) * (180.0 / jnp.pi) > config.model_rebuild_rot,
+    )
+    rebuild = jnp.logical_or(stale, state.model_valid == 0)
+
+    model, model_pose = jax.lax.cond(
+        rebuild,
+        lambda: (lm.build_model_map(state.map, predicted, proj), predicted),
+        lambda: (state.model, state.model_pose),
+    )
+    model_valid = jnp.where(
+        rebuild, jnp.where(empty_map, 0.0, 1.0).astype(dtype), state.model_valid
+    )
+
+    init_delta = se3.inverse(model_pose) @ predicted  # identity on rebuild
+    delta, num_matches, cost = _register(config, model, points, valid, init_delta)
+    # refined absolute pose: scan -> model frame via delta, then model -> world
+    new_pose = se3.normalize(model_pose @ delta)
 
     # first frame (empty map): registration is a no-op; pose stays as-is
-    empty_map = jnp.sum(state.map.valid) == 0
     new_pose = jnp.where(empty_map, state.pose, new_pose)
 
     rel = se3.inverse(state.pose) @ new_pose
@@ -273,6 +313,9 @@ def process_frame(
         last_kf_pose=jnp.where(do_insert, new_pose, state.last_kf_pose),
         frame_idx=state.frame_idx + 1,
         prev_scan=points,
+        model=model,
+        model_pose=model_pose,
+        model_valid=model_valid,
     )
     return new_state, FrameResult(
         pose=new_pose,

@@ -184,3 +184,31 @@ class TestStreamingOptimizations:
         assert q.dtype == np.int16
         np.testing.assert_array_equal(q[1], 0)  # dropped, not clamped
         np.testing.assert_allclose(q[0] * 0.003, pts[0], atol=0.002)
+
+
+def test_lazy_model_rebuild_matches_eager():
+    """Staleness-gated model re-projection must not degrade the trajectory
+    (it registers in the cached model frame instead of the predicted one)."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(n_frames=24, trajectory="curve", speed=1.2, seed=7)
+    )
+    dist = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum())
+
+    drifts = {}
+    for name, kw in [
+        ("eager", {}),
+        ("lazy", dict(model_rebuild_trans=4.0, model_rebuild_rot=5.0)),
+    ]:
+        odo = ICPOdometry(ICPConfig(num_points=8192, map_stride=2, **kw))
+        odo.init()
+        odo.process_sequence(scans)
+        pred = odo.absolute_poses()
+        drifts[name] = float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])) / dist
+    assert drifts["lazy"] < 0.01, drifts
+    assert drifts["lazy"] < 3.0 * max(drifts["eager"], 1e-3), drifts
