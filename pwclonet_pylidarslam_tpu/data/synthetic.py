@@ -69,6 +69,52 @@ def default_world(seed: int = 0) -> List[Rect]:
     return rects
 
 
+def world_along_path(poses: np.ndarray, seed: int = 0) -> List[Rect]:
+    """Urban-ish world flanking an arbitrary trajectory.
+
+    ``default_world`` builds a straight corridor along +x; trajectories that
+    turn eventually leave it and see nothing but the ground plane, which
+    makes ICP unobservable in x/y. This generator places buildings along the
+    *path*: every ~20 m of arc length, one box on each side of the local
+    heading, plus scattered street-level obstacles.
+    """
+    rng = np.random.default_rng(seed)
+    rects = [
+        Rect(
+            np.array([-400.0, -400.0, -1.7]),
+            np.array([800.0, 0, 0]),
+            np.array([0, 800.0, 0]),
+        ),
+    ]
+    positions = poses[:, :3, 3]
+    seg = np.linalg.norm(np.diff(positions, axis=0), axis=-1)
+    arc = np.concatenate([[0.0], np.cumsum(seg)])
+    next_spawn = -20.0  # also cover the stretch behind the start
+    for t in range(len(poses)):
+        if arc[t] < next_spawn:
+            continue
+        next_spawn = arc[t] + 20.0 + rng.uniform(-4, 4)
+        heading = poses[t, :3, 0]  # vehicle x = forward
+        lateral = poses[t, :3, 1]  # vehicle y = left
+        for side in (-1.0, 1.0):
+            y_off = side * (9.0 + rng.uniform(0, 6))
+            center = (
+                positions[t]
+                + lateral * y_off
+                + heading * rng.uniform(-6, 6)
+            )
+            w = rng.uniform(6, 14)
+            d = rng.uniform(4, 8)
+            h = rng.uniform(4, 14)
+            rects.extend(_box([center[0], center[1], -1.7 + h / 2], [w, d, h]))
+        if rng.uniform() < 0.6:
+            obs = positions[t] + lateral * rng.uniform(-6, 6) + heading * rng.uniform(0, 12)
+            rects.extend(
+                _box([obs[0], obs[1], -1.2], [rng.uniform(1.5, 4), rng.uniform(1.2, 2), 1.4])
+            )
+    return rects
+
+
 def raycast(rects: List[Rect], origins: np.ndarray, dirs: np.ndarray,
             t_min: float = 1.5, t_max: float = 80.0) -> np.ndarray:
     """Closest-hit ranges for rays ``origins (N,3)`` / ``dirs (N,3)``.
@@ -167,6 +213,10 @@ class SyntheticSequenceConfig:
     # frame t+1, so a rigid interpretation of the scan is distorted. The GT
     # pose of frame t remains the scan-START pose.
     motion_distortion: bool = False
+    # "corridor": straight street along +x (curving trajectories leave it
+    # after ~70 frames and see only ground). "along_path": buildings placed
+    # along the trajectory — use for long sequences.
+    world: str = "corridor"
 
 
 def _interp_pose(pose0: np.ndarray, pose1: np.ndarray, alpha: float) -> np.ndarray:
@@ -193,11 +243,16 @@ def generate_sequence_with_times(
     taken (0 for padding); poses are ground-truth scan-start sensor poses.
     """
     rng = np.random.default_rng(config.seed)
-    rects = world if world is not None else default_world(config.seed)
     dirs_sensor = lidar_directions(config.num_beams, config.num_cols)
     poses = make_trajectory(
         config.trajectory, config.n_frames, config.speed, config.yaw_rate_deg
     )
+    if world is not None:
+        rects = world
+    elif config.world == "along_path":
+        rects = world_along_path(poses, config.seed)
+    else:
+        rects = default_world(config.seed)
     # column index of each ray in beam-major scan order -> intra-scan time
     col_of_ray = np.tile(np.arange(config.num_cols), config.num_beams)
     alpha_of_ray = col_of_ray.astype(np.float64) / config.num_cols

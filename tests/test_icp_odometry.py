@@ -212,3 +212,24 @@ def test_lazy_model_rebuild_matches_eager():
         drifts[name] = float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])) / dist
     assert drifts["lazy"] < 0.01, drifts
     assert drifts["lazy"] < 3.0 * max(drifts["eager"], 1e-3), drifts
+
+
+def test_world_along_path_keeps_structure_on_turns():
+    """The path-following world must keep buildings in view when the
+    trajectory turns (the corridor world goes blind after ~70 curve frames)."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+
+    cfg = SyntheticSequenceConfig(
+        n_frames=12, trajectory="curve", speed=1.2, yaw_rate_deg=8.0,
+        seed=3, world="along_path", num_points=4096,
+    )
+    scans, gt = generate_sequence(cfg)
+    # every scan must see a healthy number of non-ground returns
+    for t in range(scans.shape[0]):
+        pts = scans[t]
+        real = pts[np.linalg.norm(pts, axis=-1) > 1e-3]
+        above_ground = real[real[:, 2] > -1.0]
+        assert above_ground.shape[0] > 200, (t, above_ground.shape)
