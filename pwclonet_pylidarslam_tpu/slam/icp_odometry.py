@@ -432,3 +432,36 @@ class ICPOdometry:
 
     def absolute_poses(self) -> np.ndarray:
         return np.stack([np.asarray(r.pose) for r in self.results])
+
+    # --- deterministic state snapshots (SURVEY §5 checkpoint/resume: the
+    # reference only persists poses incrementally; here the full on-device
+    # SLAM state round-trips, so a crashed/preempted run resumes bit-exact).
+
+    def snapshot(self, path: str) -> None:
+        """Write the device state + accumulated results to one ``.npz``."""
+        assert self.state is not None, "init() first"
+        leaves = jax.tree.flatten(self.state)[0]
+        payload = {f"state_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        if self.results:
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *self.results)
+            for field, value in zip(FrameResult._fields, stacked):
+                payload[f"result_{field}"] = np.asarray(value)
+        np.savez_compressed(path, **payload)
+
+    def restore(self, path: str) -> None:
+        """Load a snapshot written by :meth:`snapshot`."""
+        data = np.load(path)
+        template = init_state(self.config)
+        treedef = jax.tree.structure(template)
+        n = len(jax.tree.flatten(template)[0])
+        leaves = [jnp.asarray(data[f"state_{i}"]) for i in range(n)]
+        self.state = jax.tree.unflatten(treedef, leaves)
+        self.results = []
+        if "result_pose" in data:
+            t = data["result_pose"].shape[0]
+            for i in range(t):
+                self.results.append(
+                    FrameResult(
+                        **{f: jnp.asarray(data[f"result_{f}"][i]) for f in FrameResult._fields}
+                    )
+                )

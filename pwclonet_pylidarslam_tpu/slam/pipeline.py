@@ -114,14 +114,33 @@ class SLAM:
 
     def _resync_odometry(self, corrected_pose: np.ndarray):
         """Push the backend-corrected pose into the odometry state so future
-        frames integrate from the optimized trajectory."""
+        frames integrate from the optimized trajectory.
+
+        The correction is a left world-frame transform ``C = corrected·old⁻¹``
+        and must be applied to EVERY absolute pose the odometry carries (the
+        keyframe ring-buffer poses, the last-keyframe pose, the cached model
+        frame) — correcting only ``pose`` would shear the map geometry by the
+        correction amount on the next model re-projection. (The reference
+        sidesteps this by storing its KdTree map relative to the latest
+        frame, ``local_map.py:302-362``; our map stores absolute poses.)
+        """
         state = getattr(self.odometry, "state", None)
         if state is not None and hasattr(state, "pose"):
             import jax.numpy as jnp
 
-            self.odometry.state = state._replace(
-                pose=jnp.asarray(corrected_pose, state.pose.dtype)
-            )
+            old = np.asarray(state.pose, np.float64)
+            c = np.asarray(corrected_pose, np.float64) @ np.linalg.inv(old)
+            cj = jnp.asarray(c, state.pose.dtype)
+            replacements = {"pose": cj @ state.pose}
+            if hasattr(state, "last_kf_pose"):
+                replacements["last_kf_pose"] = cj @ state.last_kf_pose
+            if hasattr(state, "model_pose"):
+                replacements["model_pose"] = cj @ state.model_pose
+            if hasattr(state, "map") and hasattr(state.map, "poses"):
+                replacements["map"] = state.map._replace(
+                    poses=cj[None] @ state.map.poses
+                )
+            self.odometry.state = state._replace(**replacements)
 
     def absolute_poses(self) -> np.ndarray:
         if self.builder is not None and self.builder.poses:

@@ -233,3 +233,34 @@ def test_world_along_path_keeps_structure_on_turns():
         real = pts[np.linalg.norm(pts, axis=-1) > 1e-3]
         above_ground = real[real[:, 2] > -1.0]
         assert above_ground.shape[0] > 200, (t, above_ground.shape)
+
+
+def test_snapshot_restore_resumes_bit_exact(tmp_path):
+    """Crash-resume: restoring a snapshot and reprocessing the same frames
+    must reproduce the uninterrupted trajectory exactly."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+
+    scans, _ = generate_sequence(
+        SyntheticSequenceConfig(n_frames=16, trajectory="curve", speed=1.0, seed=2)
+    )
+    cfg = ICPConfig(num_points=8192, map_stride=2)
+
+    odo = ICPOdometry(cfg)
+    odo.init()
+    odo.process_sequence(scans[:8])
+    snap = str(tmp_path / "state.npz")
+    odo.snapshot(snap)
+    odo.process_sequence(scans[8:])
+    full = odo.absolute_poses()
+
+    odo2 = ICPOdometry(cfg)
+    odo2.init()
+    odo2.restore(snap)
+    assert len(odo2.results) == 8
+    odo2.process_sequence(scans[8:])
+    resumed = odo2.absolute_poses()
+    np.testing.assert_array_equal(full, resumed)

@@ -145,3 +145,49 @@ def test_slam_loop_closure_backend_full(tmp_path):
     # trajectory still tracks ground truth
     err = np.linalg.norm(pred[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert err.max() < 2.0
+
+
+def test_resync_applies_correction_to_whole_map():
+    """A backend correction must transform ALL absolute poses in the odometry
+    state (keyframe poses, model frame), not just the current pose — the
+    continued trajectory must equal the uncorrected one left-multiplied by
+    the correction."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+    from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
+
+    scans, _ = generate_sequence(
+        SyntheticSequenceConfig(n_frames=14, trajectory="curve", speed=1.0, seed=5)
+    )
+    cfg = ICPConfig(num_points=8192, map_stride=2)
+
+    # uncorrected run
+    ref = ICPOdometry(cfg)
+    ref.init()
+    ref.process_sequence(scans)
+    ref_poses = ref.absolute_poses()
+
+    # corrected run: inject a sizable SE(3) jump mid-sequence via resync
+    odo = ICPOdometry(cfg)
+    odo.init()
+    odo.process_sequence(scans[:7])
+    slam = SLAM(SLAMConfig(with_loop_closure=False, with_backend=False), odometry=odo)
+    yaw = np.deg2rad(10.0)
+    correction = np.array(
+        [
+            [np.cos(yaw), -np.sin(yaw), 0.0, 3.0],
+            [np.sin(yaw), np.cos(yaw), 0.0, -2.0],
+            [0.0, 0.0, 1.0, 0.5],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    corrected = correction @ np.asarray(odo.state.pose, np.float64)
+    slam._resync_odometry(corrected)
+    odo.process_sequence(scans[7:])
+    got = odo.absolute_poses()
+
+    expected_tail = np.einsum("ij,tjk->tik", correction, ref_poses[7:])
+    np.testing.assert_allclose(got[7:], expected_tail, atol=2e-2)
