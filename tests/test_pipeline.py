@@ -191,3 +191,38 @@ def test_resync_applies_correction_to_whole_map():
 
     expected_tail = np.einsum("ij,tjk->tik", correction, ref_poses[7:])
     np.testing.assert_allclose(got[7:], expected_tail, atol=2e-2)
+
+
+def test_pipeline_snapshot_restore(tmp_path):
+    """Full-pipeline resume: snapshot mid-sequence with backend enabled,
+    restore into a fresh SLAM, continue — identical trajectory."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig
+    from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
+
+    scans, _ = generate_sequence(
+        SyntheticSequenceConfig(n_frames=12, trajectory="curve", speed=1.0, seed=6)
+    )
+    cfg = SLAMConfig(
+        odometry=ICPConfig(num_points=8192, map_stride=2), with_backend=True
+    )
+
+    slam = SLAM(cfg)
+    slam.init()
+    for t in range(6):
+        slam.process_next_frame(scans[t])
+    snap = str(tmp_path / "snap")
+    slam.snapshot(snap)
+    for t in range(6, 12):
+        slam.process_next_frame(scans[t])
+    full = slam.absolute_poses()
+
+    slam2 = SLAM(cfg)
+    slam2.restore(snap)
+    assert len(slam2.builder.poses) == 6
+    for t in range(6, 12):
+        slam2.process_next_frame(scans[t])
+    np.testing.assert_array_equal(full, slam2.absolute_poses())
