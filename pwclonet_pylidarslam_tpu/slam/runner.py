@@ -39,6 +39,11 @@ class SLAMRunnerConfig:
     # incremental persistence: partial trajectories survive crashes
     # (ref odometry_runner.py:255-263 saves every ~100 m of travel)
     save_every_frames: int = 500
+    # full-pipeline state snapshot cadence (0 = off) + resume-from-snapshot:
+    # restart the runner with ``resume=True`` and a crashed/preempted
+    # sequence continues bit-exact from its last snapshot instead of frame 0
+    snapshot_every_frames: int = 0
+    resume: bool = False
 
 
 class SLAMRunner:
@@ -73,8 +78,16 @@ class SLAMRunner:
 
         from pwclonet_pylidarslam_tpu.evaluation.results import write_poses_txt
 
+        snap_dir = os.path.join(self.config.log_dir, f"{name}.snapshot")
+        start = 0
+        if self.config.resume and os.path.exists(
+            os.path.join(snap_dir, "pipeline.npz")
+        ):
+            slam.restore(snap_dir)
+            start = len(getattr(slam.odometry, "results", []) or [])
+
         t0 = time.perf_counter()
-        for i in range(n):
+        for i in range(start, n):
             slam.process_next_frame(source.scan(i))
             if (
                 self.config.save_every_frames
@@ -84,6 +97,11 @@ class SLAMRunner:
                     os.path.join(self.config.log_dir, f"{name}.partial.poses.txt"),
                     slam.absolute_poses(),
                 )
+            if (
+                self.config.snapshot_every_frames
+                and (i + 1) % self.config.snapshot_every_frames == 0
+            ):
+                slam.snapshot(snap_dir)
         elapsed = time.perf_counter() - t0
         predicted = slam.absolute_poses()
         gt = source.ground_truth()

@@ -33,6 +33,8 @@ class RunConfig:
     with_loop_closure: bool = False
     with_backend: bool = False
     num_points: int = 8192
+    snapshot_every_frames: int = 0  # full-pipeline snapshot cadence (0 = off)
+    resume: bool = False  # continue a crashed run from its last snapshot
     synthetic_frames: int = 60
     synthetic_trajectory: str = "curve"
 
@@ -160,6 +162,8 @@ def main(argv: Optional[List[str]] = None):
         slam=slam_cfg,
         log_dir=config.log_dir,
         max_frames=config.max_frames or None,
+        snapshot_every_frames=config.snapshot_every_frames,
+        resume=config.resume,
     )
     odometry = None
     if config.odometry in ("ct_icp", "ct_icp_rigid"):

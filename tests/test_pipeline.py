@@ -226,3 +226,36 @@ def test_pipeline_snapshot_restore(tmp_path):
     for t in range(6, 12):
         slam2.process_next_frame(scans[t])
     np.testing.assert_array_equal(full, slam2.absolute_poses())
+
+
+def test_runner_resumes_from_snapshot(tmp_path, short_sequence):
+    """snapshot_every_frames + resume: a re-run continues from the snapshot
+    (not frame 0) and produces a full trajectory."""
+    from pwclonet_pylidarslam_tpu.slam.runner import SLAMRunner, SLAMRunnerConfig
+
+    scans, gt = short_sequence
+
+    class Source:
+        def __len__(self):
+            return scans.shape[0]
+
+        def scan(self, idx):
+            return scans[idx]
+
+        def ground_truth(self):
+            return gt
+
+    log_dir = str(tmp_path / "run")
+    cfg = SLAMRunnerConfig(log_dir=log_dir, snapshot_every_frames=4, resume=True)
+    # first run: process only half the frames (simulated preemption)
+    cfg_half = SLAMRunnerConfig(
+        log_dir=log_dir, snapshot_every_frames=4, max_frames=scans.shape[0] // 2
+    )
+    SLAMRunner(cfg_half).run({"seq": Source()})
+    import os
+
+    assert os.path.exists(os.path.join(log_dir, "seq.snapshot", "pipeline.npz"))
+
+    runner = SLAMRunner(cfg)
+    out = runner.run({"seq": Source()})
+    assert "seq" in out and not runner.failures
