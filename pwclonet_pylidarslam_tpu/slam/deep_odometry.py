@@ -78,6 +78,44 @@ class PWCLONetOdometry:
         self.poses.append(self.state_pose.copy())
         return self.state_pose
 
+    def process_sequence(self, scans: np.ndarray) -> np.ndarray:
+        """All consecutive pairs of ``scans (T, N, 3)`` in ONE batched
+        forward (per-frame dispatch pays a full tunnel round trip per frame
+        on a network-attached chip; this pays one). Returns ``(T, 4, 4)``
+        absolute poses of the newly processed frames."""
+        prepared = np.stack([self._prepare(s) for s in scans])
+        first_poses = []
+        if self._prev_scan is None:
+            prev = prepared[:-1]
+            cur = prepared[1:]
+            first_poses.append(np.eye(4))
+        else:
+            prev = np.concatenate([self._prev_scan[None], prepared[:-1]])
+            cur = prepared
+        if len(cur):
+            if not hasattr(self, "_fwd_rel"):
+                self._fwd_rel = jax.jit(
+                    lambda v, x1, x2: jax.vmap(se3.params_to_pose_quat)(
+                        self.model.apply(v, x1, x2, train=False)[0][:, 0]
+                    )
+                )
+            rels = np.asarray(
+                self._fwd_rel(self.variables, jnp.asarray(cur), jnp.asarray(prev)),
+                np.float64,
+            )
+        else:
+            rels = np.zeros((0, 4, 4))
+        out = []
+        for _ in first_poses:
+            self.poses.append(self.state_pose.copy())
+            out.append(self.state_pose.copy())
+        for rel in rels:
+            self.state_pose = self.state_pose @ rel
+            self.poses.append(self.state_pose.copy())
+            out.append(self.state_pose.copy())
+        self._prev_scan = prepared[-1]
+        return np.stack(out)
+
     def absolute_poses(self) -> np.ndarray:
         return np.stack(self.poses)
 
@@ -130,6 +168,43 @@ class PoseNetOdometry:
         self._prev_vm = vm
         self.poses.append(self.state_pose.copy())
         return self.state_pose
+
+    def process_sequence(self, scans: np.ndarray) -> np.ndarray:
+        """Batched variant: project all scans and run all consecutive
+        vertex-map pairs in one dispatch. Returns the new absolute poses."""
+        vms = self._project(jnp.asarray(scans, jnp.float32))  # (T, H, W, 3)
+        first = 0
+        if self._prev_vm is None:
+            prev = vms[:-1]
+            cur = vms[1:]
+            first = 1
+        else:
+            prev = jnp.concatenate([self._prev_vm, vms[:-1]])
+            cur = vms
+        if cur.shape[0]:
+            if not hasattr(self, "_fwd_rel"):
+                self._fwd_rel = jax.jit(
+                    lambda v, p, c: jax.vmap(se3.params_to_pose_euler)(
+                        self._apply_pair(v, p, c)
+                    )
+                )
+            rels = np.asarray(self._fwd_rel(self.variables, prev, cur), np.float64)
+        else:
+            rels = np.zeros((0, 4, 4))
+        out = []
+        for _ in range(first):
+            self.poses.append(self.state_pose.copy())
+            out.append(self.state_pose.copy())
+        for rel in rels:
+            self.state_pose = self.state_pose @ rel
+            self.poses.append(self.state_pose.copy())
+            out.append(self.state_pose.copy())
+        self._prev_vm = vms[-1:]
+        return np.stack(out)
+
+    def _apply_pair(self, v, prev_vm, cur_vm):
+        frames = jnp.stack([cur_vm, prev_vm], axis=1)  # (B, 2, H, W, 3)
+        return self.model.apply(v, frames, train=False)[:, 0]
 
     def absolute_poses(self) -> np.ndarray:
         return np.stack(self.poses)
