@@ -88,6 +88,22 @@ class ICPConfig:
     # ``ProjectiveLocalMap.build_model`` per frame, local_map.py:177-202).
     model_rebuild_trans: float = 0.0  # meters
     model_rebuild_rot: float = 0.0  # degrees
+    # association structure: "projective" = z-buffer model map + pixel gather
+    # (ref ProjectiveLocalMap); "voxel" = voxel-hash bucket NN over the same
+    # keyframe store (the TPU equivalent of the reference's KdTreeLocalMap,
+    # its most accurate config — exact-radius NN instead of same-pixel
+    # association). Voxel association reach is bounded by one voxel ring
+    # (~2·voxel_size), so it leans on the motion prior instead of the
+    # coarse-to-fine pixel gate.
+    association: str = "projective"  # projective | voxel
+    voxel_size: float = 1.5  # meters (voxel mode; also the NN search reach)
+    voxel_table_size: int = 1 << 16
+    voxel_bucket_cap: int = 16
+    # re-associate correspondences every k GN iterations (1 = every
+    # iteration). The voxel NN's 27-bucket candidate gather dominates its
+    # device time; holding correspondences fixed for a few Newton steps
+    # (classic nested-ICP) cuts it ~k× with no measurable accuracy cost.
+    reassociate_every: int = 1
 
 
 class OdometryState(NamedTuple):
@@ -130,30 +146,39 @@ def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
 
 def _register(
     config: ICPConfig,
-    model: jax.Array,
+    assoc_fn,
     points: jax.Array,
     mask: jax.Array,
     init_delta: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Iterated associate + point-to-plane GN against the model map.
+    """Iterated associate + point-to-plane GN against the local map.
 
-    Returns the correction ``delta (4,4)`` mapping current-scan coordinates
-    to model-map coordinates, so the refined frame pose is
+    ``assoc_fn(warped (N,3), gate) -> (targets, normals, weights)`` supplies
+    correspondences (projective model-map gather or voxel-hash NN). Returns
+    the correction ``delta (4,4)`` mapping current-scan coordinates to
+    map-frame coordinates, so the refined frame pose is
     ``model_pose @ delta``. ``init_delta`` seeds the iteration (identity when
     the model was built in the predicted frame; ``model_pose⁻¹·predicted``
     under lazy rebuilds). Also returns (num_matches, cost) of the final
     iteration.
     """
-    proj = config.projector
 
     def body(carry):
-        i, delta, converged, _, _ = carry
+        i, delta, converged, _, _, corr = carry
         warped = se3.transform(delta[None], points[None])[0]
         gate = jnp.maximum(
             config.initial_assoc_distance * jnp.exp2(-i.astype(points.dtype)),
             config.max_assoc_distance,
         )
-        target, normal, w_assoc = lm.associate(model, warped, proj, gate)
+        if config.reassociate_every > 1:
+            corr = jax.lax.cond(
+                i % config.reassociate_every == 0,
+                lambda: assoc_fn(warped, gate),
+                lambda: corr,
+            )
+            target, normal, w_assoc = corr
+        else:
+            target, normal, w_assoc = assoc_fn(warped, gate)
         w = w_assoc * mask
         # anneal the robust scale with the gate: with a tight sigma at coarse
         # iterations, spurious zero-residual matches outweigh the true
@@ -182,22 +207,29 @@ def _register(
         # otherwise a small early step under a wide gate stops the loop
         gate_done = gate <= config.max_assoc_distance * 1.001
         converged = jnp.logical_and(gate_done, step_norm < config.threshold_delta_pose)
-        return i + 1, new_delta, converged, jnp.sum(w), cost
+        return i + 1, new_delta, converged, jnp.sum(w), cost, corr
 
     def cond(carry):
-        i, _, converged, _, _ = carry
+        i, _, converged, _, _, _ = carry
         return jnp.logical_and(i < config.max_num_alignments, jnp.logical_not(converged))
 
+    n = points.shape[0]
+    corr0 = (
+        jnp.zeros((n, 3), points.dtype),
+        jnp.zeros((n, 3), points.dtype),
+        jnp.zeros((n,), points.dtype),
+    )
     init = (
         jnp.zeros((), jnp.int32),
         jnp.eye(4, dtype=points.dtype) if init_delta is None else init_delta,
         jnp.zeros((), bool),
         jnp.zeros((), points.dtype),
         jnp.zeros((), points.dtype),
+        corr0,
     )
     # while_loop: genuinely stops at convergence instead of masking the
     # remaining fixed-trip iterations (2-3x fewer iterations on average)
-    _, delta, _, num_matches, cost = jax.lax.while_loop(cond, body, init)
+    _, delta, _, num_matches, cost, _ = jax.lax.while_loop(cond, body, init)
     return delta, num_matches, cost
 
 
@@ -244,30 +276,55 @@ def process_frame(
         rel_prior = jnp.where(use_bev, rel_bev, state.last_rel)
     predicted = state.pose @ rel_prior
 
-    # --- model map: rebuild when the cache is stale (lazy) or always
-    # (reference behavior, thresholds 0). The staleness test compares the
-    # predicted pose to the frame the cached model was built in.
     empty_map = jnp.sum(state.map.valid) == 0
-    stale_tw = se3.log((se3.inverse(state.model_pose) @ predicted)[None])[0]
-    stale = jnp.logical_or(
-        jnp.linalg.norm(stale_tw[:3]) > config.model_rebuild_trans,
-        jnp.linalg.norm(stale_tw[3:]) * (180.0 / jnp.pi) > config.model_rebuild_rot,
-    )
-    rebuild = jnp.logical_or(stale, state.model_valid == 0)
+    if config.association == "voxel":
+        # KdTree-equivalent: voxel-hash bucket NN over the keyframe store,
+        # rebuilt in the predicted frame every frame (like the reference's
+        # per-update kdtree rebuild, local_map.py:365-369, but one sort +
+        # one unique scatter on device instead of a CPU tree build)
+        flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
+        table = lm.build_voxel_table(
+            flat_pts, flat_nrm, flat_ok, config.voxel_size,
+            config.voxel_table_size, config.voxel_bucket_cap,
+        )
 
-    model, model_pose = jax.lax.cond(
-        rebuild,
-        lambda: (lm.build_model_map(state.map, predicted, proj), predicted),
-        lambda: (state.model, state.model_pose),
-    )
-    model_valid = jnp.where(
-        rebuild, jnp.where(empty_map, 0.0, 1.0).astype(dtype), state.model_valid
-    )
+        def assoc_fn(warped, gate):
+            return lm.voxel_nn(
+                table, warped, config.voxel_size,
+                jnp.minimum(gate, config.voxel_size),
+            )
 
-    init_delta = se3.inverse(model_pose) @ predicted  # identity on rebuild
-    delta, num_matches, cost = _register(config, model, points, valid, init_delta)
-    # refined absolute pose: scan -> model frame via delta, then model -> world
-    new_pose = se3.normalize(model_pose @ delta)
+        model, model_pose, model_valid = state.model, predicted, state.model_valid
+        delta, num_matches, cost = _register(config, assoc_fn, points, valid)
+        new_pose = se3.normalize(predicted @ delta)
+    else:
+        # --- model map: rebuild when the cache is stale (lazy) or always
+        # (reference behavior, thresholds 0). The staleness test compares the
+        # predicted pose to the frame the cached model was built in.
+        stale_tw = se3.log((se3.inverse(state.model_pose) @ predicted)[None])[0]
+        stale = jnp.logical_or(
+            jnp.linalg.norm(stale_tw[:3]) > config.model_rebuild_trans,
+            jnp.linalg.norm(stale_tw[3:]) * (180.0 / jnp.pi) > config.model_rebuild_rot,
+        )
+        rebuild = jnp.logical_or(stale, state.model_valid == 0)
+
+        model, model_pose = jax.lax.cond(
+            rebuild,
+            lambda: (lm.build_model_map(state.map, predicted, proj), predicted),
+            lambda: (state.model, state.model_pose),
+        )
+        model_valid = jnp.where(
+            rebuild, jnp.where(empty_map, 0.0, 1.0).astype(dtype), state.model_valid
+        )
+
+        init_delta = se3.inverse(model_pose) @ predicted  # identity on rebuild
+
+        def assoc_fn(warped, gate):
+            return lm.associate(model, warped, proj, gate)
+
+        delta, num_matches, cost = _register(config, assoc_fn, points, valid, init_delta)
+        # refined absolute pose: scan -> model frame via delta, then model -> world
+        new_pose = se3.normalize(model_pose @ delta)
 
     # first frame (empty map): registration is a no-op; pose stays as-is
     new_pose = jnp.where(empty_map, state.pose, new_pose)

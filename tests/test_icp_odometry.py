@@ -264,3 +264,47 @@ def test_snapshot_restore_resumes_bit_exact(tmp_path):
     odo2.process_sequence(scans[8:])
     resumed = odo2.absolute_poses()
     np.testing.assert_array_equal(full, resumed)
+
+
+def test_voxel_nn_matches_brute_force():
+    """Voxel-hash NN returns the exact nearest neighbor within reach."""
+    from pwclonet_pylidarslam_tpu.slam import local_map as lm
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-10, 10, (500, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.normal(size=(500, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    table = lm.build_voxel_table(pts, nrm, jnp.ones((500,), jnp.float32), 0.8, 1 << 14, 16)
+    q = jnp.asarray(rng.uniform(-10, 10, (200, 3)).astype(np.float32))
+    tgt, _, w = lm.voxel_nn(table, q, 0.8, 0.7)
+
+    d = np.linalg.norm(np.asarray(q)[:, None] - np.asarray(pts)[None], axis=-1)
+    bid, bd = d.argmin(1), d.min(1)
+    checked = 0
+    for i in range(200):
+        if bd[i] < 0.69:  # strictly inside the gate
+            checked += 1
+            assert w[i] > 0
+            np.testing.assert_allclose(np.asarray(tgt[i]), np.asarray(pts[bid[i]]), atol=1e-5)
+    assert checked > 10
+
+
+def test_voxel_association_icp_accuracy():
+    """The KdTree-equivalent voxel mode must beat the 1% drift gate (it is
+    the accuracy-first configuration, like the reference's KdTree F2M)."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(n_frames=24, trajectory="curve", speed=1.2, seed=7)
+    )
+    dist = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum())
+    odo = ICPOdometry(ICPConfig(num_points=8192, map_stride=2, association="voxel"))
+    odo.init()
+    odo.process_sequence(scans)
+    pred = odo.absolute_poses()
+    drift = float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])) / dist
+    assert drift < 0.01, drift
