@@ -29,6 +29,7 @@ class RunConfig:
     log_dir: str = "./slam_output"
     max_frames: int = 0  # 0 = all
     odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid
+    association: str = "projective"  # projective (fast) | voxel (accuracy, KdTree-F2M)
     bev_bootstrap: bool = False  # in-graph BEV prior for fast rotation (icp only)
     with_loop_closure: bool = False
     with_backend: bool = False
@@ -176,11 +177,15 @@ def main(argv: Optional[List[str]] = None):
             )
         )
     elif config.odometry == "icp":
-        if config.bev_bootstrap:
+        if config.bev_bootstrap or config.association != "projective":
             from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
 
             odometry = ICPOdometry(
-                ICPConfig(num_points=config.num_points, bev_bootstrap=True)
+                ICPConfig(
+                    num_points=config.num_points,
+                    bev_bootstrap=config.bev_bootstrap,
+                    association=config.association,
+                )
             )
     else:
         raise SystemExit(f"unknown odometry {config.odometry!r}")
