@@ -98,7 +98,13 @@ class ICPConfig:
     association: str = "projective"  # projective | voxel
     voxel_size: float = 1.5  # meters (voxel mode; also the NN search reach)
     voxel_table_size: int = 1 << 16
-    voxel_bucket_cap: int = 16
+    voxel_bucket_cap: int = 32
+    # 27 = 3x3x3 cells of voxel_size; 8 = half-offset 2x2x2 cells of
+    # 2·voxel_size (same exactness guarantee within voxel_size, 3.4x fewer
+    # bucket gathers — pair with a larger bucket cap). 8 measures both
+    # faster (87 vs 110 ms/frame) and more accurate (larger cells drop
+    # fewer points at equal candidate count).
+    voxel_neighborhood: int = 8
     # re-associate correspondences every k GN iterations (1 = every
     # iteration). The voxel NN's 27-bucket candidate gather dominates its
     # device time; holding correspondences fixed for a few Newton steps
@@ -283,8 +289,9 @@ def process_frame(
         # per-update kdtree rebuild, local_map.py:365-369, but one sort +
         # one unique scatter on device instead of a CPU tree build)
         flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
+        cell = config.voxel_size * (2.0 if config.voxel_neighborhood == 8 else 1.0)
         table = lm.build_voxel_table(
-            flat_pts, flat_nrm, flat_ok, config.voxel_size,
+            flat_pts, flat_nrm, flat_ok, cell,
             config.voxel_table_size, config.voxel_bucket_cap,
         )
 
@@ -292,6 +299,7 @@ def process_frame(
             return lm.voxel_nn(
                 table, warped, config.voxel_size,
                 jnp.minimum(gate, config.voxel_size),
+                neighborhood=config.voxel_neighborhood,
             )
 
         model, model_pose, model_valid = state.model, predicted, state.model_valid

@@ -210,6 +210,9 @@ def build_voxel_table(
 _NEIGHBOR_OFFSETS = tuple(
     (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
 )
+_OCTANT_OFFSETS = tuple(
+    (dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+)
 
 
 def voxel_nn(
@@ -217,22 +220,40 @@ def voxel_nn(
     query: jax.Array,
     voxel_size: float,
     max_distance: float,
+    neighborhood: int = 27,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest stored point of each ``query (N, 3)`` within ``max_distance``.
 
-    Gathers the 27 neighboring voxels' buckets (27·bucket_cap candidates per
-    query — one fused gather + distance min, no tree walk). Returns
-    ``(targets (N,3), normals (N,3), weights (N,))`` like ``associate``.
+    ``neighborhood=27``: buckets are ``voxel_size`` cells, the query gathers
+    its 3×3×3 neighborhood — exact within ``voxel_size``.
+    ``neighborhood=8``: the half-offset trick — buckets are ``2·voxel_size``
+    cells and the query gathers only the 2×2×2 cells nearest to it, which
+    still guarantees exactness within ``voxel_size`` with 3.4× fewer bucket
+    gathers (build the table with ``voxel_size = 2·reach`` for this mode).
+
+    Returns ``(targets (N,3), normals (N,3), weights (N,))`` like
+    ``associate``.
     """
     from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
 
     table_size, bucket_cap, _ = table.points.shape
     n = query.shape[0]
-    vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
-    offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
-    neigh = vox_q[:, None, :] + offsets[None]  # (N, 27, 3)
-    h = voxel_hash(neigh) & (table_size - 1)  # (N, 27)
-    cand = table.points[h].reshape(n, 27 * bucket_cap, 3)  # bucket-rows gather
+    if neighborhood == 8:
+        cell = 2.0 * voxel_size
+        t = query / cell
+        c = jnp.floor(t).astype(jnp.int32)
+        # pick the neighbor on the side the query sits in, per axis
+        shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
+        offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)  # (8, 3)
+        neigh = (c + shift)[:, None, :] + offsets[None]  # (N, 8, 3)
+        k = 8
+    else:
+        vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
+        offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
+        neigh = vox_q[:, None, :] + offsets[None]  # (N, 27, 3)
+        k = 27
+    h = voxel_hash(neigh) & (table_size - 1)  # (N, k)
+    cand = table.points[h].reshape(n, k * bucket_cap, 3)  # bucket-rows gather
     d2 = jnp.sum((cand - query[:, None, :]) ** 2, axis=-1)
     best = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]

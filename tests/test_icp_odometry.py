@@ -308,3 +308,26 @@ def test_voxel_association_icp_accuracy():
     pred = odo.absolute_poses()
     drift = float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])) / dist
     assert drift < 0.01, drift
+
+
+def test_voxel_nn_octant_mode_exact():
+    """The 8-cell half-offset neighborhood must stay exact within reach
+    (cells are 2x reach; each query gathers only its nearest octant)."""
+    from pwclonet_pylidarslam_tpu.slam import local_map as lm
+
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-10, 10, (800, 3)).astype(np.float32))
+    nrm = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    table = lm.build_voxel_table(pts, nrm, jnp.ones((800,), jnp.float32), 1.6, 1 << 14, 32)
+    q = jnp.asarray(rng.uniform(-10, 10, (300, 3)).astype(np.float32))
+    tgt, _, w = lm.voxel_nn(table, q, 0.8, 0.75, neighborhood=8)
+
+    d = np.linalg.norm(np.asarray(q)[:, None] - np.asarray(pts)[None], axis=-1)
+    bid, bd = d.argmin(1), d.min(1)
+    checked = 0
+    for i in range(300):
+        if bd[i] < 0.74:
+            checked += 1
+            assert w[i] > 0
+            np.testing.assert_allclose(np.asarray(tgt[i]), np.asarray(pts[bid[i]]), atol=1e-5)
+    assert checked > 10
