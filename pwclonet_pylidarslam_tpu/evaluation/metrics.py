@@ -118,17 +118,71 @@ def compute_are(
     return float(err.mean()), float(err.std())
 
 
+def rescale_prediction(
+    relative_predicted: np.ndarray, relative_ground_truth: np.ndarray
+) -> np.ndarray:
+    """Scale each relative translation so its norm matches the GT norm
+    (ref ``eval_odometry.py:442-458``) — the scale-corrected evaluation used
+    for monocular-style predictions with correct direction but wrong scale."""
+    out = relative_predicted.copy()
+    norm_pred = np.linalg.norm(relative_predicted[:, :3, 3], axis=1)
+    norm_gt = np.linalg.norm(relative_ground_truth[:, :3, 3], axis=1)
+    scale = np.where(norm_pred > 1e-6, norm_gt / np.maximum(norm_pred, 1e-12), 1.0)
+    out[:, :3, 3] *= scale[:, None]
+    return out
+
+
+EVAL_MODES = ("normal", "rescale_simple", "eval_rotation", "eval_translation")
+
+
+def apply_eval_mode(
+    relative_predicted: np.ndarray,
+    relative_ground_truth: np.ndarray,
+    mode: str = "normal",
+) -> np.ndarray:
+    """Evaluation modes of the reference (``eval_odometry.py:518-523``):
+
+    - ``normal``: poses evaluated as-is
+    - ``rescale_simple``: per-frame translation-norm rescaling against GT
+    - ``eval_rotation``: translations replaced by GT (isolates rotation error)
+    - ``eval_translation``: rotations replaced by GT (isolates translation error)
+    """
+    if mode == "normal":
+        return relative_predicted
+    out = relative_predicted.copy()
+    if mode == "rescale_simple":
+        return rescale_prediction(out, relative_ground_truth)
+    if mode == "eval_rotation":
+        out[:, :3, 3] = relative_ground_truth[:, :3, 3]
+        return out
+    if mode == "eval_translation":
+        out[:, :3, :3] = relative_ground_truth[:, :3, :3]
+        return out
+    raise ValueError(f"unknown eval mode {mode!r}; expected one of {EVAL_MODES}")
+
+
 def metrics_dict(
     absolute_predicted: np.ndarray,
     absolute_ground_truth: np.ndarray,
     nsecs_per_frame: Optional[float] = None,
     segments=DEFAULT_SEGMENTS,
+    mode: str = "normal",
 ) -> Dict[str, float]:
     """The ``metrics.yaml`` schema of the reference (``eval_odometry.py:703-719``):
     keys ``tr_err`` (%), ``rot_err`` (deg/100m), ``ATE``, ``STD_ATE``, ``ARE``,
-    ``STD_ARE``, ``nsecs_per_frame``."""
+    ``STD_ARE``, ``nsecs_per_frame``.
+
+    ``mode`` selects the reference's evaluation modes (:518-523). Unlike the
+    reference — which rescales only the relative poses it feeds to ATE/ARE and
+    computes the KITTI segment metric on the untouched absolute trajectory —
+    the mode here is applied to the relative poses and the absolute trajectory
+    is recomposed from them, so every reported metric sees the same poses.
+    """
     rel_pred = compute_relative_poses(absolute_predicted)
     rel_gt = compute_relative_poses(absolute_ground_truth)
+    if mode != "normal":
+        rel_pred = apply_eval_mode(rel_pred, rel_gt, mode)
+        absolute_predicted = absolute_ground_truth[0] @ compute_absolute_poses(rel_pred)
     tr, rot, _ = compute_kitti_metrics(absolute_predicted, absolute_ground_truth, segments)
     ate, std_ate = compute_ate(rel_pred, rel_gt)
     are, std_are = compute_are(rel_pred, rel_gt)

@@ -157,7 +157,10 @@ class OdometryResults:
         ground_truth: Optional[np.ndarray] = None,
         elapsed_seconds: Optional[float] = None,
         plot: bool = True,
+        mode: str = "normal",
     ) -> Optional[Dict[str, float]]:
+        """``mode``: evaluation mode (ref ``add_sequence(mode=...)``) —
+        ``normal`` / ``rescale_simple`` / ``eval_rotation`` / ``eval_translation``."""
         write_poses_txt(
             os.path.join(self.log_dir, f"{sequence_name}.poses.txt"), predicted
         )
@@ -172,7 +175,9 @@ class OdometryResults:
                 if elapsed_seconds is not None
                 else None
             )
-            md = metrics_mod.metrics_dict(predicted, ground_truth, nsecs_per_frame=nspf)
+            md = metrics_mod.metrics_dict(
+                predicted, ground_truth, nsecs_per_frame=nspf, mode=mode
+            )
             self.metrics[sequence_name] = md
             write_metrics_yaml(os.path.join(self.log_dir, "metrics.yaml"), self.metrics)
         if plot:

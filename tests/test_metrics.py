@@ -67,3 +67,43 @@ def test_rotation_error_90deg():
     err_pose = np.eye(4)
     err_pose[:3, :3] = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]
     np.testing.assert_allclose(metrics.rotation_error(err_pose), np.pi / 2, atol=1e-12)
+
+
+def test_rescale_simple_fixes_scale_error():
+    gt = straight_trajectory(1200, 1.0)
+    pred = straight_trajectory(1200, 1.05)  # pure 5% scale error
+    md = metrics.metrics_dict(pred, gt, mode="rescale_simple")
+    assert md["tr_err"] < 1e-9 and md["ATE"] < 1e-12
+    # unscaled for comparison
+    md0 = metrics.metrics_dict(pred, gt)
+    assert md0["tr_err"] > 4.9
+
+
+def test_eval_rotation_and_translation_modes():
+    from scipy.spatial.transform import Rotation as R
+
+    rng = np.random.default_rng(3)
+    gt = straight_trajectory(1200, 1.0)
+    pred = gt.copy()
+    # corrupt rotations only
+    for t in range(1, len(pred)):
+        noise = np.eye(4)
+        noise[:3, :3] = R.from_rotvec(0.002 * rng.normal(size=3)).as_matrix()
+        pred[t] = pred[t] @ noise
+    # eval_translation replaces rotations by GT -> translation metrics near zero
+    md_t = metrics.metrics_dict(pred, gt, mode="eval_translation")
+    assert md_t["ARE"] < 1e-12
+    # eval_rotation replaces translations by GT
+    md_r = metrics.metrics_dict(pred, gt, mode="eval_rotation")
+    assert md_r["ATE"] < 1e-12 and md_r["ARE"] > 0
+
+
+def test_unknown_mode_raises():
+    gt = straight_trajectory(10, 1.0)
+    rel = metrics.compute_relative_poses(gt)
+    try:
+        metrics.apply_eval_mode(rel, rel, "bogus")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
