@@ -5,3 +5,9 @@ from pwclonet_pylidarslam_tpu.data.synthetic import (  # noqa: F401
     SyntheticSequenceConfig,
     generate_sequence,
 )
+from pwclonet_pylidarslam_tpu.data.shapes import (  # noqa: F401
+    Indoor3DSemSegDataset,
+    ModelNet40Dataset,
+    SyntheticRooms,
+    SyntheticShapes,
+)
