@@ -31,8 +31,10 @@ import numpy as np
 class Config:
     do_train: bool = False
     do_test: bool = False
-    model: str = "pwclonet"  # pwclonet | posenet (ref train.py:77-143 vs :223-…)
-    dataset: str = "synthetic"  # synthetic | kitti
+    # pwclonet | posenet (ref train.py:77-143 vs :223-…) | cls | semseg
+    # (the upstream Pointnet2 demo tasks)
+    model: str = "pwclonet"
+    dataset: str = "synthetic"  # synthetic | kitti | modelnet40 | indoor3d
     root_dir: str = ""
     train_sequences: str = "0,1,2,3,4,5,6"
     eval_sequences: str = "7,8,9,10"
@@ -211,9 +213,105 @@ def run_test_posenet(config: Config) -> int:
     return 0
 
 
+def _cls_seg_setup(config: Config, train: bool):
+    """Model + dataset pair for the cls/semseg tasks (upstream
+    ``pointnet2/train.py`` with ``task_model=cls-ssg``/``semseg-ssg``)."""
+    from pwclonet_pylidarslam_tpu.data import shapes
+    from pwclonet_pylidarslam_tpu.models import (
+        PointNet2Classification,
+        PointNet2Segmentation,
+    )
+
+    if config.model == "cls":
+        if config.dataset == "modelnet40":
+            ds = shapes.ModelNet40Dataset(
+                config.root_dir, num_points=config.num_points, train=train
+            )
+            n_classes = len(ds.classes)
+        else:
+            ds = shapes.SyntheticShapes(
+                num_items=config.synthetic_batches * config.batch_size,
+                num_points=config.num_points,
+                seed=config.seed if train else config.seed + 1,
+            )
+            n_classes = len(shapes.SHAPE_CLASSES)
+        model = PointNet2Classification(num_classes=n_classes)
+    else:
+        if config.dataset == "indoor3d":
+            ds = shapes.Indoor3DSemSegDataset(
+                config.root_dir, num_points=config.num_points, train=train
+            )
+            n_classes = ds.NUM_CLASSES
+        else:
+            ds = shapes.SyntheticRooms(
+                num_items=config.synthetic_batches * config.batch_size,
+                num_points=config.num_points,
+                seed=config.seed if train else config.seed + 1,
+            )
+            n_classes = ds.num_classes
+        model = PointNet2Segmentation(num_classes=n_classes)
+    return model, ds
+
+
+def run_train_cls_seg(config: Config) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.data import shapes
+    from pwclonet_pylidarslam_tpu.train.cls_seg import (
+        ClsSegTrainConfig,
+        cls_seg_eval_step,
+        cls_seg_train_step,
+        create_cls_seg_state,
+    )
+    from pwclonet_pylidarslam_tpu.utils.config import dump_config
+
+    model, train_ds = _cls_seg_setup(config, train=True)
+    _, eval_ds = _cls_seg_setup(config, train=False)
+    cfg = ClsSegTrainConfig(
+        learning_rate=config.learning_rate,
+        batch_size=config.batch_size,
+        lr_decay=0.7 if config.model == "cls" else 0.5,
+        decay_step=2e4 if config.model == "cls" else 3e5,
+    )
+    dump_config(config, f"{config.log_dir}/config.yaml")
+    example = next(shapes.batches(train_ds, config.batch_size, np.random.default_rng(0)))
+    state = create_cls_seg_state(
+        model, cfg, jax.random.key(config.seed), jnp.asarray(example["points"][:1])
+    )
+    step = jax.jit(cls_seg_train_step, static_argnums=(0, 1))
+    for epoch in range(config.num_epochs):
+        rng = np.random.default_rng((config.seed, epoch))
+        losses, accs = [], []
+        for batch in shapes.batches(
+            train_ds, config.batch_size, rng, augment=config.augment and config.model == "cls"
+        ):
+            state, log = step(model, cfg, state, batch, jax.random.key(int(state.step)))
+            losses.append(float(log["loss"]))
+            accs.append(float(log["accuracy"]))
+        ev_losses, ev_accs = [], []
+        for batch in shapes.batches(eval_ds, config.batch_size, shuffle=False):
+            ev = cls_seg_eval_step(model, state, batch)
+            ev_losses.append(float(ev["loss"]))
+            ev_accs.append(float(ev["accuracy"]))
+        print(
+            f"epoch {epoch}: loss={np.mean(losses):.4f} acc={np.mean(accs):.3f} "
+            f"eval_loss={np.mean(ev_losses):.4f} eval_acc={np.mean(ev_accs):.3f}"
+        )
+    import pickle
+
+    with open(f"{config.log_dir}/cls_seg_state.pkl", "wb") as f:
+        pickle.dump(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, f)
+    return 0
+
+
 def run_train(config: Config) -> int:
     if config.model == "posenet":
         return run_train_posenet(config)
+    if config.model in ("cls", "semseg"):
+        return run_train_cls_seg(config)
     from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
     from pwclonet_pylidarslam_tpu.train.state import TrainConfig
     from pwclonet_pylidarslam_tpu.train.trainer import PWCLONetTrainer, TrainerConfig
