@@ -133,6 +133,159 @@ def plot_segment_errors(
     return True
 
 
+def to_camera_coord(poses: np.ndarray) -> np.ndarray:
+    """Lidar-frame → KITTI camera-frame trajectory (ref ``evaluation.py:140-151``:
+    conjugation by the fixed camera↔lidar axis permutation)."""
+    R_C2L = np.array(
+        [[0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]], dtype=np.float64
+    )
+    return np.linalg.inv(R_C2L) @ poses @ R_C2L
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_xyz(path, predicted, ground_truth=None, title=""):
+    """Per-frame x/y/z component plot, GT vs prediction
+    (ref ``evaluation.py:292-329``)."""
+    plt = _plt()
+    fig, axes = plt.subplots(3, 1, figsize=(9, 7), sharex=True)
+    for k, name in enumerate("xyz"):
+        if ground_truth is not None:
+            axes[k].plot(ground_truth[:, k, 3], color="black", label="GT")
+        axes[k].plot(predicted[:, k, 3], color="tab:blue", ls="--", label="prediction")
+        axes[k].set_ylabel(f"{name} (m)")
+    axes[2].set_xlabel("frame")
+    axes[0].legend()
+    fig.suptitle(title or "xyz")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_rpy(path, predicted, ground_truth=None, title=""):
+    """Per-frame roll/pitch/yaw plot (ref ``evaluation.py:332-370``; euler
+    extraction via scipy, fixed-axes xyz)."""
+    from scipy.spatial.transform import Rotation
+
+    plt = _plt()
+
+    def rpy(poses):
+        return Rotation.from_matrix(poses[:, :3, :3]).as_euler("xyz", degrees=True)
+
+    fig, axes = plt.subplots(3, 1, figsize=(9, 7), sharex=True)
+    pred_e = rpy(predicted)
+    gt_e = rpy(ground_truth) if ground_truth is not None else None
+    for k, name in enumerate(("roll", "pitch", "yaw")):
+        if gt_e is not None:
+            axes[k].plot(np.unwrap(gt_e[:, k], period=360), color="black", label="GT")
+        axes[k].plot(
+            np.unwrap(pred_e[:, k], period=360), color="tab:blue", ls="--",
+            label="prediction",
+        )
+        axes[k].set_ylabel(f"{name} (deg)")
+    axes[2].set_xlabel("frame")
+    axes[0].legend()
+    fig.suptitle(title or "rpy")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_path_2d_3(path, predicted, ground_truth=None, title=""):
+    """The devkit's three planar path views xy / xz / yz
+    (ref ``plotPath_2D_3``, ``evaluation.py:373-452``)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    planes = ((0, 1, "x", "y"), (0, 2, "x", "z"), (1, 2, "y", "z"))
+    for ax, (i, j, ni, nj) in zip(axes, planes):
+        if ground_truth is not None:
+            ax.plot(ground_truth[:, i, 3], ground_truth[:, j, 3], color="black", label="GT")
+        ax.plot(predicted[:, i, 3], predicted[:, j, 3], color="tab:blue", ls="--", label="prediction")
+        ax.set_xlabel(f"{ni} (m)")
+        ax.set_ylabel(f"{nj} (m)")
+        ax.set_aspect("equal", adjustable="datalim")
+    axes[0].legend()
+    fig.suptitle(title or "path")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_path_3d(path, predicted, ground_truth=None, title=""):
+    """3D path plot (ref ``plotPath_3D``, ``evaluation.py:455-512``)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    if ground_truth is not None:
+        ax.plot(
+            ground_truth[:, 0, 3], ground_truth[:, 1, 3], ground_truth[:, 2, 3],
+            color="black", label="GT",
+        )
+    ax.plot(
+        predicted[:, 0, 3], predicted[:, 1, 3], predicted[:, 2, 3],
+        color="tab:blue", ls="--", label="prediction",
+    )
+    ax.legend()
+    ax.set_title(title or "path 3D")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_sequence_errors(path, errors):
+    """Whitespace rows ``first_frame r_err tr_err segment speed`` — the
+    devkit's ``saveSequenceErrors`` (``evaluation.py:273-279``)."""
+    with open(path, "w") as f:
+        for e in errors:
+            f.write(
+                f"{e['first_frame']} {e['r_err']} {e['tr_err']} "
+                f"{e['segment']} {e['speed']}\n"
+            )
+
+
+def write_devkit_report(
+    out_dir: str,
+    sequence_name: str,
+    predicted: np.ndarray,
+    ground_truth: Optional[np.ndarray] = None,
+    to_camera: bool = False,
+) -> Optional[Dict[str, float]]:
+    """Full per-sequence devkit artifact set (ref ``kittiOdomEval.eval``,
+    ``evaluation.py:644-721``): xyz/rpy plots, 2D-planes + 3D path plots,
+    segment/speed error plots, the raw per-segment error txt and a stats txt
+    with the overall averages. Returns ``{"ave_t_err", "ave_r_err"}``
+    (fraction, rad/m) when GT is available."""
+    os.makedirs(out_dir, exist_ok=True)
+    if to_camera:
+        predicted = to_camera_coord(predicted)
+        if ground_truth is not None:
+            ground_truth = to_camera_coord(ground_truth)
+    p = lambda name: os.path.join(out_dir, f"{sequence_name}_{name}")
+    plot_xyz(p("xyz.png"), predicted, ground_truth, title=sequence_name)
+    plot_rpy(p("rpy.png"), predicted, ground_truth, title=sequence_name)
+    plot_path_2d_3(p("path_2d.png"), predicted, ground_truth, title=sequence_name)
+    plot_path_3d(p("path_3d.png"), predicted, ground_truth, title=sequence_name)
+    if ground_truth is None:
+        return None
+    errors = metrics_mod.calc_sequence_errors(predicted, ground_truth)
+    save_sequence_errors(p("error.txt"), errors)
+    plot_segment_errors(p("errors.png"), predicted, ground_truth, title=sequence_name)
+    if not errors:
+        return None
+    ave_t = float(np.mean([e["tr_err"] for e in errors]))
+    ave_r = float(np.mean([e["r_err"] for e in errors]))
+    with open(os.path.join(out_dir, "all_stats.txt"), "a") as f:
+        f.write(
+            f"seq{sequence_name} Average_t_error {ave_t * 100:.2f} "
+            f"Average_r_error {np.rad2deg(ave_r) * 100:.2f}\n"
+        )
+    return {"ave_t_err": ave_t, "ave_r_err": ave_r}
+
+
 class OdometryResults:
     """Per-run results directory (ref ``OdometryResults``).
 

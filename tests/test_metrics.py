@@ -107,3 +107,44 @@ def test_unknown_mode_raises():
         pass
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_devkit_report_artifacts(tmp_path):
+    from scipy.spatial.transform import Rotation as R
+    from pwclonet_pylidarslam_tpu.evaluation import results
+
+    rng = np.random.default_rng(5)
+    n = 1300
+    gt = straight_trajectory(n, 1.0)
+    for t in range(n):  # gentle yaw so rpy/3d plots are non-degenerate
+        gt[t, :3, :3] = R.from_euler("z", 0.0005 * t).as_matrix()
+    pred = gt.copy()
+    pred[:, 0, 3] *= 1.01
+    stats = results.write_devkit_report(str(tmp_path), "07", pred, gt)
+    assert 0.005 < stats["ave_t_err"] < 0.02
+    for suffix in ("xyz.png", "rpy.png", "path_2d.png", "path_3d.png",
+                   "error.txt", "errors.png"):
+        assert (tmp_path / f"07_{suffix}").exists(), suffix
+    assert (tmp_path / "all_stats.txt").read_text().startswith("seq07 Average_t_error")
+    # error.txt rows parse back
+    rows = np.loadtxt(tmp_path / "07_error.txt")
+    assert rows.shape[1] == 5 and len(rows) > 100
+
+
+def test_to_camera_coord_roundtrip(rng):
+    from pwclonet_pylidarslam_tpu.evaluation import results
+    from scipy.spatial.transform import Rotation as R
+
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, :3, :3] = R.random(5, random_state=np.random.RandomState(0)).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(5, 3))
+    cam = results.to_camera_coord(poses)
+    # conjugation preserves composition and is invertible
+    back = results.to_camera_coord(np.linalg.inv(np.linalg.inv(cam)))
+    np.testing.assert_allclose(
+        np.linalg.inv(results.to_camera_coord(np.linalg.inv(poses))), cam, atol=1e-12
+    )
+    # z_lidar (up) maps to -y_cam (KITTI camera has y down)
+    fwd = results.to_camera_coord(np.eye(4)[None].repeat(1, 0) * 1.0)
+    t = np.eye(4); t[:3, 3] = [0, 0, 1]
+    np.testing.assert_allclose(results.to_camera_coord(t[None])[0, :3, 3], [0, -1, 0], atol=1e-12)

@@ -208,6 +208,12 @@ def run_test_posenet(config: Config) -> int:
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
         md = results.add_sequence(f"{s:02d}", odo.absolute_poses(), seq.ground_truth())
+        from pwclonet_pylidarslam_tpu.evaluation.results import write_devkit_report
+
+        write_devkit_report(
+            f"{config.log_dir}/test/{s:02d}_eval", f"{s:02d}",
+            odo.absolute_poses(), seq.ground_truth(),
+        )  # the reference's kittiOdomEval per-sequence artifact set (train.py:973-981)
         if md:
             print(f"seq {s:02d}: t_rel={md['tr_err']:.4f}% ATE={md['ATE']:.4f}")
     return 0
@@ -384,6 +390,12 @@ def run_test(config: Config) -> int:
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
         md = results.add_sequence(f"{s:02d}", odo.absolute_poses(), seq.ground_truth())
+        from pwclonet_pylidarslam_tpu.evaluation.results import write_devkit_report
+
+        write_devkit_report(
+            f"{config.log_dir}/test/{s:02d}_eval", f"{s:02d}",
+            odo.absolute_poses(), seq.ground_truth(),
+        )  # the reference's kittiOdomEval per-sequence artifact set (train.py:973-981)
         if md:
             print(f"seq {s:02d}: t_rel={md['tr_err']:.4f}% ATE={md['ATE']:.4f}")
     return 0
