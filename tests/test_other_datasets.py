@@ -171,3 +171,40 @@ def test_kitti360_pair_dataset(tmp_path):
     assert np.median(d) < 1e-3
     b = next(ds.batches(2))
     assert b["xyz1"].shape == (2, 512, 3)
+
+
+def test_train_net_kitti360_wiring(tmp_path):
+    """train_net make_batch_fns(dataset=kitti360) yields pwclonet batches
+    (ref train.py:337-345 builds Kitti360Dataset for the same recipe)."""
+    drive = od.kitti360_drive_name(3)
+    velo = tmp_path / "data_3d_raw" / drive / "velodyne_points" / "data"
+    velo.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    rows = []
+    for t in range(5):
+        pts = np.concatenate(
+            [rng.uniform(-20, 20, (2000, 2)), rng.uniform(-1.0, 1.0, (2000, 1))], -1
+        )
+        np.concatenate([pts, np.ones((2000, 1))], -1).astype(np.float32).tofile(
+            velo / f"{t:010d}.bin")
+        pose = np.eye(4)
+        pose[0, 3] = 1.2 * t
+        rows.append(np.concatenate([[t], pose[:3, :4].reshape(-1)]))
+    poses_dir = tmp_path / "data_poses" / drive
+    poses_dir.mkdir(parents=True)
+    np.savetxt(poses_dir / "poses.txt", np.stack(rows))
+    (tmp_path / "calibration").mkdir()
+    np.savetxt(tmp_path / "calibration" / "calib_cam_to_velo.txt",
+               np.eye(4)[:3].reshape(-1)[None])
+
+    import train_net
+
+    cfg = train_net.Config(
+        dataset="kitti360", root_dir=str(tmp_path),
+        train_sequences="3", eval_sequences="3",
+        num_points=256, batch_size=2,
+    )
+    train_fn, eval_fn = train_net.make_batch_fns(cfg, None)
+    batch = next(train_fn())
+    assert batch["xyz1"].shape == (2, 256, 3)
+    assert batch["gt_params"].shape == (2, 7)

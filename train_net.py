@@ -34,7 +34,7 @@ class Config:
     # pwclonet | posenet (ref train.py:77-143 vs :223-…) | cls | semseg
     # (the upstream Pointnet2 demo tasks)
     model: str = "pwclonet"
-    dataset: str = "synthetic"  # synthetic | kitti | modelnet40 | indoor3d
+    dataset: str = "synthetic"  # synthetic | kitti | kitti360 | modelnet40 | indoor3d
     root_dir: str = ""
     train_sequences: str = "0,1,2,3,4,5,6"
     eval_sequences: str = "7,8,9,10"
@@ -78,6 +78,24 @@ def make_batch_fns(config: Config, model_cfg):
         train_data = gen(config.seed)
         eval_data = gen(config.seed + 1)
         return (lambda: iter(train_data)), (lambda: iter(eval_data))
+
+    if config.dataset == "kitti360":
+        # ref train.py:337-345 constructs Kitti360Dataset directly for the
+        # PWCLO-Net recipe; same contract as the KITTI pair dataset.
+        from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360PairDataset
+
+        train_ds = Kitti360PairDataset(
+            config.root_dir, tuple(_seqs(config.train_sequences)),
+            num_points=config.num_points, augment=config.augment, seed=config.seed,
+        )
+        eval_ds = Kitti360PairDataset(
+            config.root_dir, tuple(_seqs(config.eval_sequences)),
+            num_points=config.num_points, augment=False, seed=config.seed + 1,
+        )
+        return (
+            lambda: train_ds.batches(config.batch_size, shuffle=True),
+            lambda: eval_ds.batches(config.batch_size, shuffle=False),
+        )
 
     from pwclonet_pylidarslam_tpu.data.kitti import KittiPairDataset
 
