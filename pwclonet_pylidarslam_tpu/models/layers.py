@@ -66,27 +66,81 @@ class PointMLP(nn.Module):
     f32; BatchNorm statistics are always computed in f32). Geometry stays in
     f32 upstream — only neighborhood-scale values reach these layers, where
     bf16's 8-bit mantissa is sufficient.
+
+    ``maxpool=True`` appends the set-conv max over the neighborhood axis
+    (``-2``). In eval mode, ``fused=True`` additionally folds each BN into
+    its matmul and runs the whole (MLP → max-pool) block as ONE Pallas
+    kernel with all intermediates in VMEM (``ops/pallas/mlp_kernel.py``);
+    the train path and the CPU oracle keep this unfused graph. Params are
+    owned by this module (not child Dense/BatchNorm modules) so the fold
+    can read them directly.
     """
 
     features: Sequence[int]
     use_bn: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (None = f32)
+    eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool, bn_momentum=0.1):
-        for f in self.features:
-            x = nn.Dense(
-                f, use_bias=not self.use_bn, kernel_init=xavier_init,
-                dtype=self.dtype,
-            )(x)
+    def __call__(self, x, train: bool, bn_momentum=0.1, maxpool: bool = False,
+                 fused: bool = False):
+        layers = []
+        cin = x.shape[-1]
+        for i, f in enumerate(self.features):
+            kernel = self.param(f"kernel_{i}", xavier_init, (cin, f))
             if self.use_bn:
-                x = BatchNorm()(
-                    x.astype(jnp.float32), train=train, momentum=bn_momentum
-                )
+                scale = self.param(f"scale_{i}", nn.initializers.ones, (f,))
+                bias = self.param(f"bias_{i}", nn.initializers.zeros, (f,))
+                mean = self.variable("batch_stats", f"mean_{i}", lambda f=f: jnp.zeros(f))
+                var = self.variable("batch_stats", f"var_{i}", lambda f=f: jnp.ones(f))
+                layers.append((kernel, scale, bias, mean, var))
+            else:
+                bias = self.param(f"bias_{i}", nn.initializers.zeros, (f,))
+                layers.append((kernel, None, bias, None, None))
+            cin = f
+
+        if (
+            fused and maxpool and not train and self.use_bn and x.ndim == 4
+            and not self.is_initializing()
+        ):
+            from pwclonet_pylidarslam_tpu.ops.pallas.mlp_kernel import (
+                fold_bn,
+                mlp_maxpool_pallas,
+            )
+
+            ws, bs = [], []
+            for kernel, scale, bias, mean, var in layers:
+                w_f, b_f = fold_bn(kernel, scale, bias, mean.value, var.value, self.eps)
+                ws.append(w_f)
+                bs.append(b_f)
+            return mlp_maxpool_pallas(x.astype(jnp.float32), tuple(ws), tuple(bs))
+
+        for kernel, scale, bias, mean, var in layers:
+            if self.dtype is not None:
+                h = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+            else:
+                h = jnp.matmul(x, kernel)
+            if self.use_bn:
+                h = h.astype(jnp.float32)
+                if train:
+                    axes = tuple(range(h.ndim - 1))
+                    m = jnp.mean(h, axis=axes)
+                    v = jnp.var(h, axis=axes)
+                    if not self.is_initializing():
+                        mean.value = (1.0 - bn_momentum) * mean.value + bn_momentum * m
+                        var.value = (1.0 - bn_momentum) * var.value + bn_momentum * v
+                else:
+                    m, v = mean.value, var.value
+                h = (h - m) * jax.lax.rsqrt(v + self.eps) * scale + bias
                 if self.dtype is not None:
-                    x = x.astype(self.dtype)
-            x = nn.relu(x)
-        return x.astype(jnp.float32)
+                    h = h.astype(self.dtype)
+            else:
+                h = h + bias.astype(h.dtype)
+            x = nn.relu(h)
+        x = x.astype(jnp.float32)
+        if maxpool:
+            x = jnp.max(x, axis=-2)
+        return x
 
 
 class LinearHead(nn.Module):

@@ -41,6 +41,7 @@ class SetConv(nn.Module):
     mlp: Sequence[int]
     approx_knn: bool = True  # lax.approx_min_k on TPU (≥98% recall, ~free)
     dtype: Optional[jnp.dtype] = None
+    fused_eval: bool = False  # eval mode: one Pallas kernel for MLP+maxpool
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, bn_momentum=0.1):
@@ -55,8 +56,10 @@ class SetConv(nn.Module):
         else:
             # first level: concat raw grouped xyz (ref pointnet2_modules.py:234)
             x = jnp.concatenate([xyz_diff, grouped_xyz], axis=-1)
-        x = PointMLP(tuple(self.mlp), dtype=self.dtype)(x, train=train, bn_momentum=bn_momentum)
-        return new_xyz, jnp.max(x, axis=-2)
+        x = PointMLP(tuple(self.mlp), dtype=self.dtype)(
+            x, train=train, bn_momentum=bn_momentum, maxpool=True, fused=self.fused_eval
+        )
+        return new_xyz, x
 
 
 class SetUpConv(nn.Module):
@@ -75,6 +78,7 @@ class SetUpConv(nn.Module):
     post_mlp: Sequence[int]
     approx_knn: bool = True
     dtype: Optional[jnp.dtype] = None
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, fine_xyz, coarse_xyz, fine_feat, coarse_feat, train: bool, bn_momentum=0.1):
@@ -83,8 +87,9 @@ class SetUpConv(nn.Module):
         grouped_xyz = ops.group_points(coarse_xyz, nn_idx)
         xyz_diff = grouped_xyz - fine_xyz[:, :, None, :]
         x = jnp.concatenate([grouped_feat, xyz_diff], axis=-1)
-        x = PointMLP(tuple(self.mlp), dtype=self.dtype)(x, train=train, bn_momentum=bn_momentum)
-        x = jnp.max(x, axis=-2)  # (B, Nf, mlp[-1])
+        x = PointMLP(tuple(self.mlp), dtype=self.dtype)(
+            x, train=train, bn_momentum=bn_momentum, maxpool=True, fused=self.fused_eval
+        )  # (B, Nf, mlp[-1])
         if fine_feat is not None:
             x = jnp.concatenate([x, fine_feat], axis=-1)
         x = PointMLP(tuple(self.post_mlp), dtype=self.dtype)(x, train=train, bn_momentum=bn_momentum)

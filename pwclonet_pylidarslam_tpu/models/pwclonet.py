@@ -90,6 +90,7 @@ class PoseWarpRefinement(nn.Module):
 
     last_level: bool = False  # finest level skips mask refinement (ref :71-76)
     dtype: Optional[jnp.dtype] = None
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -99,10 +100,12 @@ class PoseWarpRefinement(nn.Module):
         q_coarse, t_coarse,
         train: bool, bn_momentum=0.1,
     ):
-        up_feat = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype)(
+        up_feat = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype,
+                            fused_eval=self.fused_eval)(
             xyz_f1, xyz_prev, feat_f1, feat_prev, train=train, bn_momentum=bn_momentum
         )
-        up_mask = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype)(
+        up_mask = SetUpConv(nsample=8, mlp=(128, 64), post_mlp=(64,), dtype=self.dtype,
+                            fused_eval=self.fused_eval)(
             xyz_f1, xyz_prev, feat_f1, mask_prev, train=train, bn_momentum=bn_momentum
         )
         warped = quat_warp(q_coarse, t_coarse, xyz_f1)
@@ -140,6 +143,7 @@ class PWCLONetConfig:
     )
     bn_momentum_init: float = 0.5  # scheduled by the trainer
     compute_dtype: str = "float32"  # "bfloat16" puts the MLP matmuls on bf16
+    fused_eval: bool = False  # eval: fused Pallas MLP+maxpool in the set convs
 
 
 class PWCLONet(nn.Module):
@@ -155,7 +159,8 @@ class PWCLONet(nn.Module):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         sa = [
-            SetConv(cfg.sa_npoints[i], cfg.sa_nsamples[i], cfg.sa_mlps[i], dtype=dtype)
+            SetConv(cfg.sa_npoints[i], cfg.sa_nsamples[i], cfg.sa_mlps[i], dtype=dtype,
+                    fused_eval=cfg.fused_eval)
             for i in range(4)
         ]
 
@@ -173,7 +178,8 @@ class PWCLONet(nn.Module):
         flow_emb = CostVolume(nsample=4, nsample_q=32, dtype=dtype)(
             x1_3, p1_3, x2_3, p2_3, train=train, bn_momentum=bn_momentum
         )
-        x1_4, emb4 = SetConv(cfg.sa_npoints[3], cfg.sa_nsamples[3], (128, 64, 64), dtype=dtype)(
+        x1_4, emb4 = SetConv(cfg.sa_npoints[3], cfg.sa_nsamples[3], (128, 64, 64), dtype=dtype,
+                             fused_eval=cfg.fused_eval)(
             x1_3, flow_emb, train=train, bn_momentum=bn_momentum
         )
 
@@ -183,15 +189,16 @@ class PWCLONet(nn.Module):
         q4, t4 = PoseCalculator()(emb4, w4, train=train)
 
         # cascaded warp-refinement: level 3 → 2 → 1
-        q3, t3, emb3, mask3 = PoseWarpRefinement(dtype=dtype)(
+        q3, t3, emb3, mask3 = PoseWarpRefinement(dtype=dtype, fused_eval=cfg.fused_eval)(
             x1_3, p1_3, x2_3, p2_3, x1_4, emb4, mask4, q4, t4,
             train=train, bn_momentum=bn_momentum,
         )
-        q2, t2, emb2, mask2 = PoseWarpRefinement(dtype=dtype)(
+        q2, t2, emb2, mask2 = PoseWarpRefinement(dtype=dtype, fused_eval=cfg.fused_eval)(
             x1_2, p1_2, x2_2, p2_2, x1_3, emb3, mask3, q3, t3,
             train=train, bn_momentum=bn_momentum,
         )
-        q1, t1, emb1, mask1 = PoseWarpRefinement(last_level=True, dtype=dtype)(
+        q1, t1, emb1, mask1 = PoseWarpRefinement(last_level=True, dtype=dtype,
+                                                 fused_eval=cfg.fused_eval)(
             x1_1, p1_1, x2_1, p2_1, x1_2, emb2, mask2, q2, t2,
             train=train, bn_momentum=bn_momentum,
         )

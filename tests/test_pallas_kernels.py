@@ -45,3 +45,65 @@ class TestPallasFPS:
         )
         b = np.asarray(_furthest_point_sample_lax(jnp.asarray(pts), 50))
         np.testing.assert_array_equal(a, b)
+
+
+class TestPallasFusedMLPMaxpool:
+    """Golden tests for the fused eval-mode set-conv block
+    (``ops/pallas/mlp_kernel.py``) against the unfused flax path."""
+
+    def _build(self, rng, shape=(2, 40, 8, 11), feats=(16, 8, 32)):
+        import jax
+        from pwclonet_pylidarslam_tpu.models.layers import PointMLP
+
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        m = PointMLP(feats)
+        vs = m.init({"params": jax.random.key(0)}, x, train=False)
+        # perturb running stats so the BN fold is non-trivial
+        bs = jax.tree.map(lambda a: a + 0.3, vs["batch_stats"])
+        return m, {"params": vs["params"], "batch_stats": bs}, x
+
+    def test_matches_unfused(self, rng):
+        import jax
+
+        m, vs, x = self._build(rng)
+        with jax.default_matmul_precision("highest"):
+            ref = m.apply(vs, x, train=False, maxpool=True)
+            fused = m.apply(vs, x, train=False, maxpool=True, fused=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    def test_center_tiling(self, rng):
+        # s not a multiple of the tile, large k: exercises the pad/slice path
+        import jax
+
+        m, vs, x = self._build(rng, shape=(1, 333, 32, 7), feats=(8, 16))
+        with jax.default_matmul_precision("highest"):
+            ref = m.apply(vs, x, train=False, maxpool=True)
+            fused = m.apply(vs, x, train=False, maxpool=True, fused=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    def test_train_path_unchanged_by_flag(self, rng):
+        # fused=True must be a no-op in train mode (stats need the full tensor)
+        m, vs, x = self._build(rng)
+        out_a, mut = m.apply(vs, x, train=True, maxpool=True, fused=True,
+                             mutable=["batch_stats"])
+        out_b, _ = m.apply(vs, x, train=True, maxpool=True, fused=False,
+                           mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+        assert "batch_stats" in mut
+
+    def test_pwclonet_fused_eval_close(self, rng):
+        # whole-model check: fused_eval config reproduces the eval forward
+        import jax
+        from pwclonet_pylidarslam_tpu.models import PWCLONet, PWCLONetConfig
+
+        kw = dict(num_points=256, sa_npoints=(64, 32, 16, 8), sa_nsamples=(8, 8, 8, 4))
+        x1 = jnp.asarray(rng.standard_normal((1, 256, 3)) * 8.0, jnp.float32)
+        x2 = x1 + 0.05
+        base = PWCLONet(PWCLONetConfig(**kw))
+        vs = base.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                       x1, x2, train=False)
+        fused_model = PWCLONet(PWCLONetConfig(**kw, fused_eval=True))
+        with jax.default_matmul_precision("highest"):
+            ref = base.apply(vs, x1, x2, train=False)[0]
+            out = fused_model.apply(vs, x1, x2, train=False)[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
