@@ -20,3 +20,7 @@ from pwclonet_pylidarslam_tpu.parallel.sharded_icp import (  # noqa: F401
     solve_point_to_plane_sharded,
     solve_point_to_point_sharded,
 )
+from pwclonet_pylidarslam_tpu.parallel.sharded_map import (  # noqa: F401
+    build_voxel_table_sharded,
+    voxel_nn_sharded,
+)

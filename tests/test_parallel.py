@@ -170,3 +170,88 @@ def test_scaling_harness_tiny():
     assert [r["devices"] for r in records] == [1, 2]
     assert records[0]["efficiency"] == 1.0
     assert all(r["pairs_per_s"] > 0 for r in records)
+
+
+class TestShardedVoxelMap:
+    """Row-range-sharded voxel map (parallel/sharded_map.py): the sharded
+    table and NN must match the single-device slam.local_map versions
+    exactly (row-range sharding is a partition of buckets)."""
+
+    def _world(self, rng, m=4096):
+        pts = (rng.standard_normal((m, 3)) * 12.0).astype(np.float32)
+        nrm = rng.standard_normal((m, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        valid = (rng.uniform(size=m) > 0.1).astype(np.float32)
+        return jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(valid)
+
+    def test_table_bit_identical(self, rng):
+        from pwclonet_pylidarslam_tpu.parallel.sharded_map import build_voxel_table_sharded
+        from pwclonet_pylidarslam_tpu.slam.local_map import build_voxel_table
+
+        pts, nrm, valid = self._world(rng)
+        kw = dict(voxel_size=0.8, table_size=1 << 12, bucket_cap=8)
+        ref = build_voxel_table(pts, nrm, valid, **kw)
+        mesh = make_mesh()
+        sh = build_voxel_table_sharded(pts, nrm, valid, mesh=mesh, **kw)
+        np.testing.assert_array_equal(np.asarray(sh.points), np.asarray(ref.points))
+        np.testing.assert_array_equal(np.asarray(sh.normals), np.asarray(ref.normals))
+
+    @pytest.mark.parametrize("neighborhood", [27, 8])
+    def test_nn_matches_single_device(self, rng, neighborhood):
+        from pwclonet_pylidarslam_tpu.parallel.sharded_map import (
+            build_voxel_table_sharded,
+            voxel_nn_sharded,
+        )
+        from pwclonet_pylidarslam_tpu.slam.local_map import build_voxel_table, voxel_nn
+
+        pts, nrm, valid = self._world(rng)
+        voxel = 1.6 if neighborhood == 8 else 0.8
+        kw = dict(voxel_size=voxel, table_size=1 << 12, bucket_cap=8)
+        ref_table = build_voxel_table(pts, nrm, valid, **kw)
+        query = jnp.asarray((np.asarray(pts[:512]) + 0.2).astype(np.float32))
+        t_ref, n_ref, w_ref = voxel_nn(
+            ref_table, query, voxel, max_distance=0.8, neighborhood=neighborhood
+        )
+        mesh = make_mesh()
+        sh_table = build_voxel_table_sharded(pts, nrm, valid, mesh=mesh, **kw)
+        t_sh, n_sh, w_sh = voxel_nn_sharded(
+            sh_table, query, voxel, max_distance=0.8, mesh=mesh,
+            neighborhood=neighborhood,
+        )
+        np.testing.assert_array_equal(np.asarray(w_sh), np.asarray(w_ref))
+        ok = np.asarray(w_ref) > 0
+        np.testing.assert_allclose(
+            np.asarray(t_sh)[ok], np.asarray(t_ref)[ok], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(n_sh)[ok], np.asarray(n_ref)[ok], atol=1e-6
+        )
+
+    def test_alignment_through_sharded_map(self, rng):
+        # end-to-end: sharded map association feeding the rigid solver
+        from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_plane
+        from pwclonet_pylidarslam_tpu.core import se3
+        from pwclonet_pylidarslam_tpu.parallel.sharded_map import (
+            build_voxel_table_sharded,
+            voxel_nn_sharded,
+        )
+
+        # random normals keep all 6 dof observable (a single flat plane
+        # would leave x/y/yaw unconstrained for point-to-plane)
+        pts, nrm, _ = self._world(rng, m=2048)
+        valid = jnp.ones((2048,), jnp.float32)
+        mesh = make_mesh()
+        table = build_voxel_table_sharded(
+            pts, nrm, valid, voxel_size=0.8, mesh=mesh,
+            table_size=1 << 12,
+        )
+        true = se3.exp(jnp.asarray([0.01, -0.02, 0.004, 0.02, -0.01, 0.03]))
+        scan = se3.transform(se3.inverse(true)[None], pts[None, :1024])[0]
+        target, normal, w = voxel_nn_sharded(
+            table, scan, 0.8, max_distance=1.0, mesh=mesh
+        )
+        res = solve_point_to_plane(
+            scan[None], target[None], normal[None], mask=w[None]
+        )
+        err = np.asarray(res.pose[0] @ np.asarray(se3.inverse(true))) - np.eye(4)
+        assert np.abs(err).max() < 5e-3
