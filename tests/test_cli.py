@@ -1,0 +1,95 @@
+"""End-to-end CLI smoke tests.
+
+The reference's integration strategy is "run the real pipeline with a small
+config" (SURVEY §4.3: ``run.sh`` with short sequences, ``replay.py``,
+``train.sh``/``test.sh``). These tests drive the same flows through the real
+CLIs on tiny synthetic configs and assert the artifact contract (config dump,
+poses, metrics.yaml, plots, checkpoints, devkit report).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+def test_run_slam_then_replay(tmp_path):
+    import replay_slam
+    import run_slam
+
+    out = tmp_path / "run"
+    rc = run_slam.main(
+        [f"log_dir={out}", "dataset=synthetic", "sequences=0",
+         "synthetic_frames=10", "num_points=1024"]
+    )
+    assert rc == 0
+    for f in ("config.yaml", "metrics.yaml", "synth00.poses.txt",
+              "synth00_gt.poses.txt", "synth00.png"):
+        assert (out / f).exists(), f
+    poses = np.loadtxt(out / "synth00.poses.txt")
+    assert poses.shape == (10, 12) and np.isfinite(poses).all()
+    with open(out / "metrics.yaml") as fh:
+        metrics = yaml.safe_load(fh)
+    assert "synth00" in metrics and "ATE" in metrics["synth00"]
+
+    # replay the saved run from its persisted config, windowed
+    rc = replay_slam.main([str(out), "start=2", "length=6"])
+    assert rc == 0
+    rep = np.loadtxt(out / "replay" / "synth00.poses.txt")
+    assert rep.shape == (6, 12)
+
+
+def test_train_net_train_then_test(tmp_path):
+    import train_net
+
+    out = tmp_path / "train"
+    common = ["dataset=synthetic", "model=pwclonet", "batch_size=2",
+              "num_points=256", "synthetic_batches=2", f"log_dir={out}"]
+    rc = train_net.main(["do_train=true", "num_epochs=1"] + common)
+    assert rc == 0
+    assert (out / "config.yaml").exists()
+    assert (out / "checkpoints").is_dir() and os.listdir(out / "checkpoints")
+    with open(out / "history.jsonl") as fh:
+        hist = [line for line in fh if line.strip()]
+    assert len(hist) >= 1
+
+    # test mode reloads the checkpoint (same smoke-scaled pyramid) and writes
+    # the KITTI-devkit artifact set
+    rc = train_net.main(["do_test=true", "test_sequences=0"] + common)
+    assert rc == 0
+    test_dir = out / "test"
+    assert (test_dir / "metrics.yaml").exists()
+    assert (test_dir / "00.poses.txt").exists()
+    eval_dir = test_dir / "00_eval"
+    for f in ("00_path_2d.png", "00_path_3d.png", "00_xyz.png", "00_rpy.png",
+              "00_error.txt"):
+        assert (eval_dir / f).exists(), f
+
+
+def test_run_slam_failure_isolation(tmp_path):
+    # a broken source must not take down the other sequences (ref
+    # odometry_runner.py:113-135 failure handling)
+    import run_slam
+    from pwclonet_pylidarslam_tpu.slam.runner import SLAMRunner, SLAMRunnerConfig
+
+    class _Broken:
+        def __len__(self):
+            return 5
+
+        def scan(self, i):
+            raise RuntimeError("boom")
+
+        def ground_truth(self):
+            return None
+
+    cfg = run_slam.RunConfig(
+        dataset="synthetic", sequences="0", synthetic_frames=8,
+        num_points=1024, log_dir=str(tmp_path / "iso"),
+    )
+    sources = run_slam.build_sources(cfg)
+    sources["broken"] = _Broken()
+    runner = SLAMRunner(SLAMRunnerConfig(log_dir=cfg.log_dir))
+    results = runner.run(sources)
+    assert "broken" in runner.failures
+    assert "synth00" in results and results["synth00"] is not None

@@ -218,10 +218,41 @@ def run_test_posenet(config: Config) -> int:
         trainer.odometry_variables(), PoseNetOdometryConfig(projector=projector)
     )
     results = OdometryResults(f"{config.log_dir}/test")
-    from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+    def _test_sequence(s):
+        if config.dataset == "synthetic":
+            from pwclonet_pylidarslam_tpu.data.synthetic import (
+                SyntheticSequenceConfig,
+                generate_sequence,
+            )
+
+            scans, gt = generate_sequence(
+                SyntheticSequenceConfig(
+                    n_frames=16, seed=s, num_points=config.num_points
+                )
+            )
+
+            class _Synth:
+                def __len__(self):
+                    return len(scans)
+
+                def scan(self, i):
+                    return scans[i]
+
+                def ground_truth(self):
+                    return gt
+
+            return _Synth()
+        if config.dataset == "kitti360":
+            from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
+
+            return Kitti360Sequence(config.root_dir, s)
+        from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+        return KittiSequence(config.root_dir, s)
 
     for s in _seqs(config.test_sequences):
-        seq = KittiSequence(config.root_dir, s)
+        seq = _test_sequence(s)
         odo.init()
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
@@ -331,6 +362,21 @@ def run_train_cls_seg(config: Config) -> int:
     return 0
 
 
+def _pwclonet_model_cfg(config: Config):
+    """One model-config rule for train AND test (a checkpoint trained with the
+    smoke-scaled pyramid must be rebuilt identically at test time)."""
+    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
+
+    if config.num_points >= 2048:
+        return PWCLONetConfig(num_points=config.num_points)
+    n = config.num_points  # scaled-down pyramid for smoke runs
+    return PWCLONetConfig(
+        num_points=n,
+        sa_npoints=(n // 4, n // 8, n // 16, n // 32),
+        sa_nsamples=(8, 8, 8, 4),
+    )
+
+
 def run_train(config: Config) -> int:
     if config.model == "posenet":
         return run_train_posenet(config)
@@ -341,15 +387,7 @@ def run_train(config: Config) -> int:
     from pwclonet_pylidarslam_tpu.train.trainer import PWCLONetTrainer, TrainerConfig
     from pwclonet_pylidarslam_tpu.utils.config import dump_config
 
-    if config.num_points >= 2048:
-        model_cfg = PWCLONetConfig(num_points=config.num_points)
-    else:  # scaled-down pyramid for smoke runs
-        n = config.num_points
-        model_cfg = PWCLONetConfig(
-            num_points=n,
-            sa_npoints=(n // 4, n // 8, n // 16, n // 32),
-            sa_nsamples=(8, 8, 8, 4),
-        )
+    model_cfg = _pwclonet_model_cfg(config)
     trainer_cfg = TrainerConfig(
         train=TrainConfig(model=model_cfg, learning_rate=config.learning_rate),
         num_epochs=config.num_epochs,
@@ -376,7 +414,6 @@ def run_test(config: Config) -> int:
     import jax
 
     from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
-    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
     from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
         DeepOdometryConfig,
         PWCLONetOdometry,
@@ -386,7 +423,7 @@ def run_test(config: Config) -> int:
 
     trainer = PWCLONetTrainer(
         TrainerConfig(
-            train=TrainConfig(model=PWCLONetConfig(num_points=config.num_points)),
+            train=TrainConfig(model=_pwclonet_model_cfg(config)),
             log_dir=config.log_dir,
         )
     )
@@ -400,10 +437,41 @@ def run_test(config: Config) -> int:
                                       num_points=config.num_points)
     )
     results = OdometryResults(f"{config.log_dir}/test")
-    from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+    def _test_sequence(s):
+        if config.dataset == "synthetic":
+            from pwclonet_pylidarslam_tpu.data.synthetic import (
+                SyntheticSequenceConfig,
+                generate_sequence,
+            )
+
+            scans, gt = generate_sequence(
+                SyntheticSequenceConfig(
+                    n_frames=16, seed=s, num_points=config.num_points
+                )
+            )
+
+            class _Synth:
+                def __len__(self):
+                    return len(scans)
+
+                def scan(self, i):
+                    return scans[i]
+
+                def ground_truth(self):
+                    return gt
+
+            return _Synth()
+        if config.dataset == "kitti360":
+            from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
+
+            return Kitti360Sequence(config.root_dir, s)
+        from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+        return KittiSequence(config.root_dir, s)
 
     for s in _seqs(config.test_sequences):
-        seq = KittiSequence(config.root_dir, s)
+        seq = _test_sequence(s)
         odo.init()
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
