@@ -36,6 +36,7 @@ class RunConfig:
     num_points: int = 8192
     snapshot_every_frames: int = 0  # full-pipeline snapshot cadence (0 = off)
     resume: bool = False  # continue a crashed run from its last snapshot
+    profile_dir: str = ""  # capture a jax.profiler trace of the run (XProf)
     synthetic_frames: int = 60
     synthetic_trajectory: str = "curve"
 
@@ -192,7 +193,13 @@ def main(argv: Optional[List[str]] = None):
     runner = SLAMRunner(runner_cfg, odometry=odometry)
     dump_config(config, f"{config.log_dir}/config.yaml") if _ensure_dir(config.log_dir) else None
 
-    results = runner.run(build_sources(config))
+    if config.profile_dir:
+        from pwclonet_pylidarslam_tpu.utils.timer import profiler_trace
+
+        with profiler_trace(config.profile_dir):
+            results = runner.run(build_sources(config))
+    else:
+        results = runner.run(build_sources(config))
     for name, md in results.items():
         if md:
             print(

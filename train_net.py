@@ -48,6 +48,7 @@ class Config:
     seed: int = 0
     # synthetic smoke-training shape knobs
     synthetic_batches: int = 8
+    profile_dir: str = ""  # capture a jax.profiler trace (XProf)
     # PoseNet-specific knobs (ref PoseNetTrainer, train.py:77-143)
     posenet_loss: str = "supervised"  # supervised | unsupervised
     vm_height: int = 64
@@ -397,7 +398,13 @@ def run_train(config: Config) -> int:
     trainer = PWCLONetTrainer(trainer_cfg)
     dump_config(config, f"{config.log_dir}/config.yaml")
     train_fn, eval_fn = make_batch_fns(config, model_cfg)
-    history = trainer.fit(train_fn, eval_fn)
+    if config.profile_dir:
+        from pwclonet_pylidarslam_tpu.utils.timer import profiler_trace
+
+        with profiler_trace(config.profile_dir):
+            history = trainer.fit(train_fn, eval_fn)
+    else:
+        history = trainer.fit(train_fn, eval_fn)
     last = history[-1]
     print(
         f"done: epoch {last['epoch']} train_loss={last['train_loss']:.4f} "
