@@ -105,6 +105,18 @@ class ICPConfig:
     # faster (87 vs 110 ms/frame) and more accurate (larger cells drop
     # fewer points at equal candidate count).
     voxel_neighborhood: int = 8
+    # gather each point's neighbor buckets once per frame and re-associate
+    # from the cached candidates inside the GN loop (streaming argmin, no
+    # per-iteration table gathers). Off = re-gather every iteration (exact
+    # voxel_nn semantics even under huge per-iteration corrections).
+    voxel_candidate_cache: bool = True
+    # movement-gated cache refresh: re-gather when ANY point moved more
+    # than this fraction of voxel_size since the cached buckets were
+    # gathered. Within the margin the cached octant set still contains the
+    # true NN out to (1 - margin)·voxel_size, so accuracy matches exact
+    # re-gathering; early large-correction iterations refresh automatically,
+    # the converged tail (sub-centimeter steps) never does.
+    voxel_cache_margin: float = 0.25
     # re-associate correspondences every k GN iterations (1 = every
     # iteration). The voxel NN's 27-bucket candidate gather dominates its
     # device time; holding correspondences fixed for a few Newton steps
@@ -156,6 +168,7 @@ def _register(
     points: jax.Array,
     mask: jax.Array,
     init_delta: Optional[jax.Array] = None,
+    assoc_cache_fns=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Iterated associate + point-to-plane GN against the local map.
 
@@ -176,7 +189,19 @@ def _register(
             config.initial_assoc_distance * jnp.exp2(-i.astype(points.dtype)),
             config.max_assoc_distance,
         )
-        if config.reassociate_every > 1:
+        if assoc_cache_fns is not None:
+            gather_fn, from_cache_fn = assoc_cache_fns
+            *cache, anchor = corr
+            margin = config.voxel_cache_margin * config.voxel_size
+            moved = jnp.max(jnp.sum((warped - anchor) ** 2, axis=-1))
+            refresh = jnp.logical_or(i == 0, moved > margin * margin)
+            corr = jax.lax.cond(
+                refresh,
+                lambda: tuple(gather_fn(warped)) + (warped,),
+                lambda: corr,
+            )
+            target, normal, w_assoc = from_cache_fn(corr[:-1], warped, gate)
+        elif config.reassociate_every > 1:
             corr = jax.lax.cond(
                 i % config.reassociate_every == 0,
                 lambda: assoc_fn(warped, gate),
@@ -220,11 +245,20 @@ def _register(
         return jnp.logical_and(i < config.max_num_alignments, jnp.logical_not(converged))
 
     n = points.shape[0]
-    corr0 = (
-        jnp.zeros((n, 3), points.dtype),
-        jnp.zeros((n, 3), points.dtype),
-        jnp.zeros((n,), points.dtype),
-    )
+    if assoc_cache_fns is not None:
+        # zero-init carry with the cache pytree structure (first body
+        # iteration re-gathers at i=0 before use)
+        corr0 = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype),
+            jax.eval_shape(assoc_cache_fns[0], points),
+        )
+        corr0 = tuple(corr0) + (jnp.zeros_like(points),)  # + anchor positions
+    else:
+        corr0 = (
+            jnp.zeros((n, 3), points.dtype),
+            jnp.zeros((n, 3), points.dtype),
+            jnp.zeros((n,), points.dtype),
+        )
     init = (
         jnp.zeros((), jnp.int32),
         jnp.eye(4, dtype=points.dtype) if init_delta is None else init_delta,
@@ -295,6 +329,22 @@ def process_frame(
             config.voxel_table_size, config.voxel_bucket_cap,
         )
 
+        assoc_cache_fns = None
+        if config.voxel_candidate_cache:
+            # per-point candidate buckets gathered inside the GN loop every
+            # voxel_cache_refresh_every iterations; the iterations between
+            # refreshes re-associate from the cache (streaming argmin)
+            assoc_cache_fns = (
+                lambda warped: lm.gather_voxel_candidates(
+                    table, warped, config.voxel_size,
+                    neighborhood=config.voxel_neighborhood,
+                ),
+                lambda cache, warped, gate: lm.nn_from_candidates(
+                    cache[0], cache[1], warped,
+                    jnp.minimum(gate, config.voxel_size),
+                ),
+            )
+
         def assoc_fn(warped, gate):
             return lm.voxel_nn(
                 table, warped, config.voxel_size,
@@ -303,7 +353,9 @@ def process_frame(
             )
 
         model, model_pose, model_valid = state.model, predicted, state.model_valid
-        delta, num_matches, cost = _register(config, assoc_fn, points, valid)
+        delta, num_matches, cost = _register(
+            config, assoc_fn, points, valid, assoc_cache_fns=assoc_cache_fns
+        )
         new_pose = se3.normalize(predicted @ delta)
     else:
         # --- model map: rebuild when the cache is stale (lazy) or always

@@ -268,6 +268,64 @@ def voxel_nn(
     return target, normal, ok.astype(query.dtype)
 
 
+def gather_voxel_candidates(
+    table: VoxelTable,
+    query: jax.Array,
+    voxel_size: float,
+    neighborhood: int = 27,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather each query's neighbor-bucket candidate set ONCE:
+    ``(cand_points (N, K·cap, 3), cand_normals (N, K·cap, 3))``.
+
+    The bucket gather is the expensive part of :func:`voxel_nn` (random
+    table-row access). Within one ICP registration the query points move by
+    at most the association gate between GN iterations, so the bucket set
+    gathered at the prior-warped positions stays valid for the whole solve —
+    iterations then re-associate with :func:`nn_from_candidates`, a streaming
+    argmin over the cached candidates (no gathers)."""
+    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
+
+    table_size, bucket_cap, _ = table.points.shape
+    n = query.shape[0]
+    if neighborhood == 8:
+        cell = 2.0 * voxel_size
+        t = query / cell
+        c = jnp.floor(t).astype(jnp.int32)
+        shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
+        offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)
+        neigh = (c + shift)[:, None, :] + offsets[None]
+        k = 8
+    else:
+        vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
+        offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)
+        neigh = vox_q[:, None, :] + offsets[None]
+        k = 27
+    h = voxel_hash(neigh) & (table_size - 1)  # (N, k)
+    cand_pts = table.points[h].reshape(n, k * bucket_cap, 3)
+    cand_nrm = table.normals[h].reshape(n, k * bucket_cap, 3)
+    return cand_pts, cand_nrm
+
+
+def nn_from_candidates(
+    cand_points: jax.Array,
+    cand_normals: jax.Array,
+    query: jax.Array,
+    max_distance: float | jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest candidate per query from a cached candidate set — same
+    contract as :func:`voxel_nn` (targets, normals, weights)."""
+    d2 = jnp.sum((cand_points - query[:, None, :]) ** 2, axis=-1)
+    best = jnp.argmin(d2, axis=-1)
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+    target = jnp.take_along_axis(cand_points, best[:, None, None], axis=1)[:, 0]
+    normal = jnp.take_along_axis(cand_normals, best[:, None, None], axis=1)[:, 0]
+    ok = jnp.logical_and(
+        best_d2 < max_distance * max_distance,
+        jnp.linalg.norm(normal, axis=-1) > 0.5,
+    )
+    return target, normal, ok.astype(query.dtype)
+
+
 def flatten_map_points(
     state: LocalMapState, query_pose: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
