@@ -83,7 +83,7 @@ class PointMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=0.1, maxpool: bool = False,
-                 fused: bool = False):
+                 fused: bool = False, fold_only: bool = False):
         layers = []
         cin = x.shape[-1]
         for i, f in enumerate(self.features):
@@ -98,6 +98,20 @@ class PointMLP(nn.Module):
                 bias = self.param(f"bias_{i}", nn.initializers.zeros, (f,))
                 layers.append((kernel, None, bias, None, None))
             cin = f
+
+        if fold_only:
+            # create the params (identical variable tree to a normal call) and
+            # return the BN-folded (weights, biases) for an external fused
+            # kernel — no compute. Only valid in eval mode with BN.
+            assert self.use_bn, "fold_only requires use_bn"
+            from pwclonet_pylidarslam_tpu.ops.pallas.mlp_kernel import fold_bn
+
+            ws, bs = [], []
+            for kernel, scale, bias, mean, var in layers:
+                w_f, b_f = fold_bn(kernel, scale, bias, mean.value, var.value, self.eps)
+                ws.append(w_f)
+                bs.append(b_f)
+            return tuple(ws), tuple(bs)
 
         if (
             fused and maxpool and not train and self.use_bn and x.ndim == 4

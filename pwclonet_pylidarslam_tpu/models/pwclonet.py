@@ -109,7 +109,8 @@ class PoseWarpRefinement(nn.Module):
             xyz_f1, xyz_prev, feat_f1, mask_prev, train=train, bn_momentum=bn_momentum
         )
         warped = quat_warp(q_coarse, t_coarse, xyz_f1)
-        residual_emb = CostVolume(nsample=4, nsample_q=6, dtype=self.dtype)(
+        residual_emb = CostVolume(nsample=4, nsample_q=6, dtype=self.dtype,
+                                  fused_eval=self.fused_eval)(
             warped, feat_f1, xyz_f2, feat_f2, train=train, bn_momentum=bn_momentum
         )
         emb_feat = FlowPredictor(dtype=self.dtype)(
@@ -175,7 +176,8 @@ class PWCLONet(nn.Module):
         (x2_1, p2_1), (x2_2, p2_2), (x2_3, p2_3), (x2_4, p2_4) = f2[1:]
 
         # attentive cost volume at level 3 + flow feature encoding → level 4
-        flow_emb = CostVolume(nsample=4, nsample_q=32, dtype=dtype)(
+        flow_emb = CostVolume(nsample=4, nsample_q=32, dtype=dtype,
+                              fused_eval=cfg.fused_eval)(
             x1_3, p1_3, x2_3, p2_3, train=train, bn_momentum=bn_momentum
         )
         x1_4, emb4 = SetConv(cfg.sa_npoints[3], cfg.sa_nsamples[3], (128, 64, 64), dtype=dtype,

@@ -78,6 +78,10 @@ def mlp_maxpool_pallas(
     cout = weights[-1].shape[-1]
 
     s_tile = max(1, min(s, _ROW_BUDGET // k))
+    if s_tile < s:
+        # partial tiles must have sublane-aligned block shapes (multiple of
+        # 8); a tile equal to the full dimension is exempt
+        s_tile = max(8, s_tile // 8 * 8)
     pad_s = (-s) % s_tile
     if pad_s:
         x = jnp.pad(x, ((0, 0), (0, pad_s), (0, 0), (0, 0)))

@@ -107,3 +107,59 @@ class TestPallasFusedMLPMaxpool:
             ref = base.apply(vs, x1, x2, train=False)[0]
             out = fused_model.apply(vs, x1, x2, train=False)[0]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+class TestPallasCostVolume:
+    """Fused attentive cost volume (``ops/pallas/costvolume_kernel.py``) vs
+    the unfused flax graph."""
+
+    def _build(self, rng, s=64, n=80, k=8, fused=False):
+        import jax
+        from pwclonet_pylidarslam_tpu.models.costvolume import CostVolume
+
+        xyz1 = jnp.asarray(rng.standard_normal((2, s, 3)) * 5, jnp.float32)
+        xyz2 = jnp.asarray(rng.standard_normal((2, n, 3)) * 5, jnp.float32)
+        f1 = jnp.asarray(rng.standard_normal((2, s, 16)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((2, n, 16)), jnp.float32)
+        m = CostVolume(nsample=4, nsample_q=k, fused_eval=fused)
+        return m, (xyz1, f1, xyz2, f2)
+
+    def test_matches_unfused(self, rng):
+        import jax
+        from pwclonet_pylidarslam_tpu.models.costvolume import CostVolume
+
+        base, args = self._build(rng)
+        vs = base.init({"params": jax.random.key(0)}, *args, train=False)
+        bs = jax.tree.map(lambda a: a + 0.25, vs["batch_stats"])
+        vs = {"params": vs["params"], "batch_stats": bs}
+        fused = CostVolume(nsample=4, nsample_q=8, fused_eval=True)
+        with jax.default_matmul_precision("highest"):
+            ref = base.apply(vs, *args, train=False)
+            out = fused.apply(vs, *args, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+    def test_variable_tree_identical(self, rng):
+        # the fused branch must create exactly the same params/batch_stats
+        import jax
+        from pwclonet_pylidarslam_tpu.models.costvolume import CostVolume
+
+        base, args = self._build(rng)
+        fused = CostVolume(nsample=4, nsample_q=8, fused_eval=True)
+        v0 = base.init({"params": jax.random.key(0)}, *args, train=False)
+        v1 = fused.init({"params": jax.random.key(0)}, *args, train=False)
+        assert jax.tree.map(lambda a: a.shape, v0) == jax.tree.map(lambda a: a.shape, v1)
+        chex = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), v0, v1)
+        assert max(jax.tree.leaves(chex)) == 0.0
+
+    def test_unaligned_center_tiling(self, rng):
+        # K=6 with many centers: forces the sublane-aligned partial tile path
+        import jax
+        from pwclonet_pylidarslam_tpu.models.costvolume import CostVolume
+
+        base, args = self._build(rng, s=340, n=120, k=6)
+        vs = base.init({"params": jax.random.key(0)}, *args, train=False)
+        fused = CostVolume(nsample=4, nsample_q=6, fused_eval=True)
+        with jax.default_matmul_precision("highest"):
+            ref = base.apply(vs, *args, train=False)
+            out = fused.apply(vs, *args, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
