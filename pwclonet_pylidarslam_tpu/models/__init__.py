@@ -1,7 +1,11 @@
 """Model zoo (Flax): PWCLO-Net deep LiDAR odometry, PoseResNet,
 PointNet++ classification / segmentation heads."""
 
-from pwclonet_pylidarslam_tpu.models.pwclonet import PWCLONet, PWCLONetConfig  # noqa: F401
+from pwclonet_pylidarslam_tpu.models.pwclonet import (  # noqa: F401
+    PWCLONet,
+    PWCLONetConfig,
+    scaled_model_config,
+)
 from pwclonet_pylidarslam_tpu.models.cls_seg import (  # noqa: F401
     CLS_MSG,
     CLS_SSG,

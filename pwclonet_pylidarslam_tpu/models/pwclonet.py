@@ -147,6 +147,23 @@ class PWCLONetConfig:
     fused_eval: bool = False  # eval: fused Pallas MLP+maxpool in the set convs
 
 
+def scaled_model_config(num_points: int, **overrides) -> "PWCLONetConfig":
+    """The ONE model-config rule shared by training, testing and SLAM
+    inference: the reference channel plan at >= 2048 points
+    (``pwclo_net.py:66-69``), a proportionally scaled pyramid for smoke
+    runs. A checkpoint must be rebuilt with the same rule wherever it is
+    loaded."""
+    if num_points >= 2048:
+        return PWCLONetConfig(num_points=num_points, **overrides)
+    n = num_points
+    return PWCLONetConfig(
+        num_points=n,
+        sa_npoints=(n // 4, n // 8, n // 16, n // 32),
+        sa_nsamples=(8, 8, 8, 4),
+        **overrides,
+    )
+
+
 class PWCLONet(nn.Module):
     """Full network. ``__call__(xyz1 (B,N,3), xyz2 (B,N,3))`` →
     ``(pose_params (B, 4, 7), aux)`` with params ``[t, q_wxyz]`` per level,

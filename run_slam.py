@@ -28,7 +28,11 @@ class RunConfig:
     sequences: str = "0"  # comma-separated
     log_dir: str = "./slam_output"
     max_frames: int = 0  # 0 = all
-    odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid
+    odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid | pwclonet | posenet
+    checkpoint_dir: str = ""  # train_net log_dir (deep odometry front-ends)
+    fused_eval: bool = True  # deep front-ends: fused Pallas eval kernels
+    vm_height: int = 64  # posenet vertex-map shape (must match training)
+    vm_width: int = 720
     association: str = "projective"  # projective (fast) | voxel (accuracy, KdTree-F2M)
     bev_bootstrap: bool = False  # in-graph BEV prior for fast rotation (icp only)
     with_loop_closure: bool = False
@@ -168,7 +172,58 @@ def main(argv: Optional[List[str]] = None):
         resume=config.resume,
     )
     odometry = None
-    if config.odometry in ("ct_icp", "ct_icp_rigid"):
+    if config.odometry == "pwclonet":
+        # PWCLO-Net deep odometry front-end from a train_net checkpoint
+        # (BASELINE config #4: deep front-end + loop closure + backend)
+        from pwclonet_pylidarslam_tpu.models import scaled_model_config
+        from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+            DeepOdometryConfig,
+            PWCLONetOdometry,
+        )
+        from pwclonet_pylidarslam_tpu.train.state import TrainConfig
+        from pwclonet_pylidarslam_tpu.train.trainer import (
+            PWCLONetTrainer,
+            TrainerConfig,
+        )
+
+        if not config.checkpoint_dir:
+            raise SystemExit("odometry=pwclonet requires checkpoint_dir=<train_net log_dir>")
+        model_cfg = scaled_model_config(config.num_points, fused_eval=config.fused_eval)
+        trainer = PWCLONetTrainer(
+            TrainerConfig(train=TrainConfig(model=model_cfg), log_dir=config.checkpoint_dir)
+        )
+        trainer.load_checkpoint()
+        odometry = PWCLONetOdometry(
+            {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+            DeepOdometryConfig(model=model_cfg, num_points=config.num_points),
+        )
+    elif config.odometry == "posenet":
+        from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+        from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+            PoseNetOdometry,
+            PoseNetOdometryConfig,
+        )
+        from pwclonet_pylidarslam_tpu.train.posenet_state import PoseNetTrainConfig
+        from pwclonet_pylidarslam_tpu.train.posenet_trainer import (
+            PoseNetTrainer,
+            PoseNetTrainerConfig,
+        )
+
+        if not config.checkpoint_dir:
+            raise SystemExit("odometry=posenet requires checkpoint_dir=<train_net log_dir>")
+        projector = SphericalProjector(height=config.vm_height, width=config.vm_width)
+        trainer = PoseNetTrainer(
+            PoseNetTrainerConfig(
+                train=PoseNetTrainConfig(projector=projector),
+                vm_shape=(config.vm_height, config.vm_width),
+                log_dir=config.checkpoint_dir,
+            )
+        )
+        trainer.load_checkpoint()
+        odometry = PoseNetOdometry(
+            trainer.odometry_variables(), PoseNetOdometryConfig(projector=projector)
+        )
+    elif config.odometry in ("ct_icp", "ct_icp_rigid"):
         from pwclonet_pylidarslam_tpu.slam import CTICPConfig, CTICPOdometry
 
         odometry = CTICPOdometry(

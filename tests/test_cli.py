@@ -66,6 +66,21 @@ def test_train_net_train_then_test(tmp_path):
               "00_error.txt"):
         assert (eval_dir / f).exists(), f
 
+    # full SLAM with the trained deep front-end + loop closure + backend
+    # (BASELINE config #4 wiring) from the same checkpoint
+    import run_slam
+
+    slam_out = tmp_path / "slam_deep"
+    rc = run_slam.main(
+        ["dataset=synthetic", "sequences=0", "synthetic_frames=8",
+         "num_points=256", "odometry=pwclonet", f"checkpoint_dir={out}",
+         "with_loop_closure=true", "with_backend=true",
+         f"log_dir={slam_out}"]
+    )
+    assert rc == 0
+    poses = np.loadtxt(slam_out / "synth00.poses.txt")
+    assert poses.shape == (8, 12) and np.isfinite(poses).all()
+
 
 def test_run_slam_failure_isolation(tmp_path):
     # a broken source must not take down the other sequences (ref

@@ -364,18 +364,9 @@ def run_train_cls_seg(config: Config) -> int:
 
 
 def _pwclonet_model_cfg(config: Config):
-    """One model-config rule for train AND test (a checkpoint trained with the
-    smoke-scaled pyramid must be rebuilt identically at test time)."""
-    from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
+    from pwclonet_pylidarslam_tpu.models import scaled_model_config
 
-    if config.num_points >= 2048:
-        return PWCLONetConfig(num_points=config.num_points)
-    n = config.num_points  # scaled-down pyramid for smoke runs
-    return PWCLONetConfig(
-        num_points=n,
-        sa_npoints=(n // 4, n // 8, n // 16, n // 32),
-        sa_nsamples=(8, 8, 8, 4),
-    )
+    return scaled_model_config(config.num_points)
 
 
 def run_train(config: Config) -> int:
