@@ -13,6 +13,7 @@ from pwclonet_pylidarslam_tpu.slam.ct_icp_odometry import (  # noqa: F401
     CTICPOdometry,
 )
 from pwclonet_pylidarslam_tpu.slam.icp_odometry import (  # noqa: F401
+    BatchedICPOdometry,
     ICPConfig,
     ICPOdometry,
 )

@@ -41,6 +41,11 @@ class ICPConfig:
     num_points: int = 8192  # fixed scan size (pad/subsample on the host)
     local_map_size: int = 20
     max_num_alignments: int = 15
+    # minimum association support for a GN update: with fewer weighted
+    # matches the 6x6 system is under-determined and the damped solve can
+    # fire the pose into space (observed: 2 matches -> 1.2 m jump -> NaN
+    # cascade). Below this the step is skipped and the motion prior holds.
+    min_matches: int = 12
     threshold_delta_pose: float = 1e-4
     threshold_trans: float = 0.1  # meters
     threshold_rot: float = 0.3  # degrees
@@ -231,6 +236,11 @@ def _register(
         g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)[0]
         lam = 1e-9 * (jnp.trace(h) / 6.0 + 1.0)
         dx = -jnp.linalg.solve(h + lam * jnp.eye(6, dtype=h.dtype), g)
+        # support/finiteness gate: no update from a degenerate system
+        good = jnp.logical_and(
+            jnp.sum(w) >= config.min_matches, jnp.all(jnp.isfinite(dx))
+        )
+        dx = jnp.where(good, dx, 0.0)
         new_delta = se3.exp(dx) @ delta
         step_norm = jnp.linalg.norm(dx)
         cost = jnp.sum(wres[0] ** 2)
@@ -386,6 +396,11 @@ def process_frame(
         # refined absolute pose: scan -> model frame via delta, then model -> world
         new_pose = se3.normalize(model_pose @ delta)
 
+    # non-finite guard (ref trainer/odometry NaN discipline, in-graph): a
+    # blown-up registration falls back to the motion prior instead of
+    # poisoning the pose chain
+    new_pose = jnp.where(jnp.all(jnp.isfinite(new_pose)), new_pose, predicted)
+
     # first frame (empty map): registration is a no-op; pose stays as-is
     new_pose = jnp.where(empty_map, state.pose, new_pose)
 
@@ -484,20 +499,10 @@ class ICPOdometry:
         self.results: list = []
 
     def _dequant(self, pts: jax.Array) -> jax.Array:
-        """In-graph dequantization of int16-transferred scans."""
-        if self.config.transfer_dtype == "int16":
-            return pts.astype(jnp.float32) * self.config.transfer_scale
-        return pts
+        return dequantize_scans(self.config, pts)
 
     def _quant(self, pts: np.ndarray) -> np.ndarray:
-        if self.config.transfer_dtype == "int16":
-            s = self.config.transfer_scale
-            q = np.round(pts / s)
-            # out-of-range returns become padding (zeros), NOT clamped —
-            # clamping would teleport far points onto the range boundary
-            in_range = np.all(np.abs(q) <= 32767, axis=-1, keepdims=True)
-            return np.where(in_range, q, 0.0).astype(np.int16)
-        return pts.astype(np.float32)
+        return quantize_scans(self.config, pts)
 
     def init(self):
         self.state = init_state(self.config)
@@ -582,3 +587,95 @@ class ICPOdometry:
                         **{f: jnp.asarray(data[f"result_{f}"][i]) for f in FrameResult._fields}
                     )
                 )
+
+
+def quantize_scans(config: ICPConfig, pts: np.ndarray) -> np.ndarray:
+    """Host-side scan quantization for transfer (int16 @ transfer_scale).
+
+    Out-of-range returns become padding (zeros), NOT clamped — clamping
+    would teleport far points onto the range boundary."""
+    if config.transfer_dtype == "int16":
+        s = config.transfer_scale
+        q = np.round(pts / s)
+        in_range = np.all(np.abs(q) <= 32767, axis=-1, keepdims=True)
+        return np.where(in_range, q, 0.0).astype(np.int16)
+    return pts.astype(np.float32)
+
+
+def dequantize_scans(config: ICPConfig, pts: jax.Array) -> jax.Array:
+    """In-graph dequantization of int16-transferred scans."""
+    if config.transfer_dtype == "int16":
+        return pts.astype(jnp.float32) * config.transfer_scale
+    return pts
+
+
+class BatchedICPOdometry:
+    """S independent sequences advance in ONE device dispatch.
+
+    ``vmap`` over :func:`process_sequence` — a TPU-native throughput mode
+    with no reference equivalent (the reference runs sequences serially,
+    ``odometry_runner.py:138-221``): the whole KITTI 00-10 set progresses per
+    dispatch on one chip, and with ``mesh`` given, the sequence axis shards
+    over the mesh's ``data`` axis so a pod slice processes S sequences with
+    S/n_devices resident per device (GSPMD inserts no collectives — the
+    sequences are independent).
+
+    Usage::
+
+        odo = BatchedICPOdometry(ICPConfig(), mesh=None)
+        odo.init(n_sequences=11)
+        poses = odo.process_chunk(scans)   # (S, T, N, 3) -> (S, T, 4, 4)
+    """
+
+    def __init__(self, config: Optional[ICPConfig] = None, mesh=None):
+        self.config = config or ICPConfig()
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P("data"))
+
+        def run(states, scans):
+            scans = dequantize_scans(self.config, scans)
+            return jax.vmap(
+                lambda st, sc: process_sequence(self.config, st, sc)
+            )(states, scans)
+
+        self._run = jax.jit(run, donate_argnums=0)
+        self.states = None
+        self._pose_chunks: list = []
+
+    def _place(self, tree):
+        if self._sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda a: jax.device_put(a, self._sharding), tree
+        )
+
+    def init(self, n_sequences: int):
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["data"]
+            if n_sequences % n_dev != 0:
+                raise ValueError(
+                    f"n_sequences {n_sequences} not divisible by mesh data axis {n_dev}"
+                )
+        st = init_state(self.config)
+        self.states = self._place(
+            jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n_sequences,) + a.shape), st
+            )
+        )
+        self._pose_chunks = []
+
+    def process_chunk(self, scans: np.ndarray) -> np.ndarray:
+        """``scans (S, T, N, 3)`` → absolute poses ``(S, T, 4, 4)`` (numpy)."""
+        q = self._place(jnp.asarray(quantize_scans(self.config, scans)))
+        self.states, results = self._run(self.states, q)
+        poses = np.asarray(jax.device_get(results.pose))
+        self._pose_chunks.append(poses)
+        return poses
+
+    def absolute_poses(self) -> np.ndarray:
+        """All processed frames so far: ``(S, T_total, 4, 4)``."""
+        return np.concatenate(self._pose_chunks, axis=1)
