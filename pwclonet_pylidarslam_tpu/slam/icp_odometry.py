@@ -516,16 +516,7 @@ class ICPOdometry:
         return np.asarray(result.pose)
 
     def _fix_size(self, points: np.ndarray) -> np.ndarray:
-        n = self.config.num_points
-        if points.shape[0] == n:
-            return points.astype(np.float32)
-        if points.shape[0] > n:
-            idx = np.random.default_rng(points.shape[0]).choice(
-                points.shape[0], n, replace=False
-            )
-            return points[idx].astype(np.float32)
-        pad = np.zeros((n - points.shape[0], 3), np.float32)
-        return np.concatenate([points.astype(np.float32), pad])
+        return fix_scan_size(points, self.config.num_points)
 
     def process_sequence(self, scans: np.ndarray) -> np.ndarray:
         """Process ``(T, N, 3)`` scans in one device dispatch (lax.scan).
@@ -587,6 +578,20 @@ class ICPOdometry:
                         **{f: jnp.asarray(data[f"result_{f}"][i]) for f in FrameResult._fields}
                     )
                 )
+
+
+def fix_scan_size(points: np.ndarray, n: int) -> np.ndarray:
+    """Random-sample or zero-pad a scan ``(M, 3)`` to exactly ``n`` rows
+    (deterministic in M, matching the driver's behavior)."""
+    if points.shape[0] == n:
+        return points.astype(np.float32)
+    if points.shape[0] > n:
+        idx = np.random.default_rng(points.shape[0]).choice(
+            points.shape[0], n, replace=False
+        )
+        return points[idx].astype(np.float32)
+    pad = np.zeros((n - points.shape[0], 3), np.float32)
+    return np.concatenate([points.astype(np.float32), pad])
 
 
 def quantize_scans(config: ICPConfig, pts: np.ndarray) -> np.ndarray:

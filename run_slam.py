@@ -37,6 +37,11 @@ class RunConfig:
     bev_bootstrap: bool = False  # in-graph BEV prior for fast rotation (icp only)
     with_loop_closure: bool = False
     with_backend: bool = False
+    # process ALL sequences simultaneously in one device dispatch stream
+    # (BatchedICPOdometry: vmap over sequences; odometry-only — incompatible
+    # with loop closure / backend / snapshots). Sequences are truncated to
+    # the shortest length in the batch.
+    batched: bool = False
     num_points: int = 8192
     snapshot_every_frames: int = 0  # full-pipeline snapshot cadence (0 = off)
     resume: bool = False  # continue a crashed run from its last snapshot
@@ -171,6 +176,13 @@ def main(argv: Optional[List[str]] = None):
         snapshot_every_frames=config.snapshot_every_frames,
         resume=config.resume,
     )
+    if config.batched:
+        if config.with_loop_closure or config.with_backend or config.resume:
+            raise SystemExit("batched=true is odometry-only (no loop closure/backend/resume)")
+        if config.odometry != "icp":
+            raise SystemExit("batched=true supports odometry=icp")
+        return run_batched(config)
+
     odometry = None
     if config.odometry == "pwclonet":
         # PWCLO-Net deep odometry front-end from a train_net checkpoint
@@ -265,6 +277,59 @@ def main(argv: Optional[List[str]] = None):
         print(f"FAILED sequences: {list(runner.failures)}")
         return 1
     return 0
+
+
+def run_batched(config: "RunConfig") -> int:
+    """All sequences advance together: one BatchedICPOdometry dispatch
+    stream per 32-frame chunk (vmap over the sequence axis)."""
+    import numpy as np
+
+    from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
+    from pwclonet_pylidarslam_tpu.slam import BatchedICPOdometry, ICPConfig
+    from pwclonet_pylidarslam_tpu.slam.icp_odometry import fix_scan_size
+    from pwclonet_pylidarslam_tpu.utils.config import dump_config
+
+    _ensure_dir(config.log_dir)
+    dump_config(config, f"{config.log_dir}/config.yaml")
+    sources = build_sources(config)
+    names = list(sources)
+    t_total = min(len(src) for src in sources.values())
+    if config.max_frames:
+        t_total = min(t_total, config.max_frames)
+    odo = BatchedICPOdometry(
+        ICPConfig(
+            num_points=config.num_points,
+            association=config.association,
+            bev_bootstrap=config.bev_bootstrap,
+            transfer_dtype="int16",
+            transfer_scale=0.003,
+        )
+    )
+    odo.init(n_sequences=len(names))
+    chunk = 32
+    for start in range(0, t_total, chunk):
+        end = min(start + chunk, t_total)
+        batch = np.stack(
+            [
+                np.stack(
+                    [fix_scan_size(np.asarray(src.scan(t))[:, :3], config.num_points)
+                     for t in range(start, end)]
+                )
+                for src in sources.values()
+            ]
+        )
+        odo.process_chunk(batch)
+    poses = odo.absolute_poses()
+    results = OdometryResults(config.log_dir)
+    rc = 0
+    for i, name in enumerate(names):
+        gt = sources[name].ground_truth()
+        md = results.add_sequence(
+            name, poses[i], None if gt is None else np.asarray(gt)[:t_total]
+        )
+        if md:
+            print(f"{name}: t_rel={md.get('tr_err', float('nan')):.4f}% ATE={md['ATE']:.4f} m")
+    return rc
 
 
 def _ensure_dir(d):

@@ -156,3 +156,25 @@ def test_run_slam_on_kitti_tree(tmp_path):
         data = yaml.safe_load(fh)
     md = data.get("00", data.get(0))  # unquoted "00" parses as int 0
     assert md["ATE"] < 1.0, md
+
+
+def test_run_slam_batched_mode(tmp_path):
+    # batched=true: all sequences advance in one vmapped dispatch stream
+    import run_slam
+
+    out = tmp_path / "batched"
+    rc = run_slam.main(
+        ["dataset=synthetic", "sequences=0,1", "synthetic_frames=8",
+         "num_points=1024", "batched=true", f"log_dir={out}"]
+    )
+    assert rc == 0
+    for name in ("synth00", "synth01"):
+        poses = np.loadtxt(out / f"{name}.poses.txt")
+        assert poses.shape == (8, 12) and np.isfinite(poses).all()
+    with open(out / "metrics.yaml") as fh:
+        md = yaml.safe_load(fh)
+    assert set(md) == {"synth00", "synth01"} and md["synth00"]["ATE"] < 5.0
+
+    # guard: incompatible options are rejected
+    with pytest.raises(SystemExit):
+        run_slam.main(["batched=true", "with_backend=true", f"log_dir={out}"])
