@@ -49,6 +49,7 @@ class Config:
     # synthetic smoke-training shape knobs
     synthetic_batches: int = 8
     profile_dir: str = ""  # capture a jax.profiler trace (XProf)
+    fused_eval: bool = False  # test mode: fused Pallas eval kernels (TPU)
     # PoseNet-specific knobs (ref PoseNetTrainer, train.py:77-143)
     posenet_loss: str = "supervised"  # supervised | unsupervised
     vm_height: int = 64
@@ -363,10 +364,10 @@ def run_train_cls_seg(config: Config) -> int:
     return 0
 
 
-def _pwclonet_model_cfg(config: Config):
+def _pwclonet_model_cfg(config: Config, fused_eval: bool = False):
     from pwclonet_pylidarslam_tpu.models import scaled_model_config
 
-    return scaled_model_config(config.num_points)
+    return scaled_model_config(config.num_points, fused_eval=fused_eval)
 
 
 def run_train(config: Config) -> int:
@@ -421,7 +422,7 @@ def run_test(config: Config) -> int:
 
     trainer = PWCLONetTrainer(
         TrainerConfig(
-            train=TrainConfig(model=_pwclonet_model_cfg(config)),
+            train=TrainConfig(model=_pwclonet_model_cfg(config, config.fused_eval)),
             log_dir=config.log_dir,
         )
     )
