@@ -31,38 +31,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
 from pwclonet_pylidarslam_tpu.slam.local_map import (
-    _NEIGHBOR_OFFSETS,
-    _OCTANT_OFFSETS,
     VoxelTable,
+    neighbor_bucket_hashes,
+    scatter_buckets,
 )
 
 _SENTINEL = 1e9
-
-
-def _build_rows(points, normals, valid_rows, rows: int, bucket_cap: int, row_id):
-    """Shared build core: bucket ``points (M,3)`` into ``rows`` buckets by the
-    precomputed ``row_id (M,)`` (out-of-range/invalid rows must already be set
-    to ``rows``). Mirrors ``slam.local_map.build_voxel_table`` exactly."""
-    m = points.shape[0]
-    h = jnp.where(valid_rows, row_id, rows)
-    order = jnp.argsort(h)
-    h_sorted = h[order]
-    first_of_bucket = jnp.searchsorted(h_sorted, h_sorted, side="left")
-    slot = jnp.arange(m, dtype=jnp.int32) - first_of_bucket.astype(jnp.int32)
-    keep = jnp.logical_and(slot < bucket_cap, h_sorted < rows)
-    dest = h_sorted * bucket_cap + jnp.clip(slot, 0, bucket_cap - 1)
-    dest = jnp.where(keep, dest, rows * bucket_cap)
-    flat = jnp.full((rows * bucket_cap + 1,), m, jnp.int32)
-    flat = flat.at[dest].set(order.astype(jnp.int32), mode="drop")
-    idx_grid = flat[:-1]
-    sentinel = jnp.full((1, 3), _SENTINEL, points.dtype)
-    zero = jnp.zeros((1, 3), normals.dtype)
-    points_pad = jnp.concatenate([points, sentinel])
-    normals_pad = jnp.concatenate([normals, zero])
-    return VoxelTable(
-        points=points_pad[idx_grid].reshape(rows, bucket_cap, 3),
-        normals=normals_pad[idx_grid].reshape(rows, bucket_cap, 3),
-    )
 
 
 def build_voxel_table_sharded(
@@ -100,7 +74,7 @@ def build_voxel_table_sharded(
         h = voxel_hash(vox) & (table_size - 1)
         local = h - shard * rows
         mine = jnp.logical_and(val > 0, jnp.logical_and(local >= 0, local < rows))
-        return _build_rows(pts, nrm, mine, rows, bucket_cap, local)
+        return scatter_buckets(pts, nrm, mine, local, rows, bucket_cap)
 
     return build(points, normals, valid.astype(points.dtype))
 
@@ -140,20 +114,8 @@ def voxel_nn_sharded(
     def run(tbl, q):
         shard = jax.lax.axis_index(axis)
         bucket_cap = tbl.points.shape[1]
-        if neighborhood == 8:
-            cell = 2.0 * voxel_size
-            t = q / cell
-            c = jnp.floor(t).astype(jnp.int32)
-            shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
-            offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)
-            neigh = (c + shift)[:, None, :] + offsets[None]
-            k = 8
-        else:
-            vox_q = jnp.floor(q / voxel_size).astype(jnp.int32)
-            offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)
-            neigh = vox_q[:, None, :] + offsets[None]
-            k = 27
-        h = voxel_hash(neigh) & (table_size - 1)  # (N, k) global rows
+        h = neighbor_bucket_hashes(q, voxel_size, table_size, neighborhood)
+        k = h.shape[1]  # (N, k) global rows
         local = h - shard * rows
         mine = jnp.logical_and(local >= 0, local < rows)
         hl = jnp.where(mine, local, rows)  # misses → sentinel bucket

@@ -349,9 +349,16 @@ def process_frame(
                     table, warped, config.voxel_size,
                     neighborhood=config.voxel_neighborhood,
                 ),
+                # the cached octant set is only complete out to
+                # (1 - margin)*voxel_size once points may have drifted the
+                # margin since the gather — clamp the acceptance gate there
+                # so a stale outer-ring candidate can't beat the true NN
                 lambda cache, warped, gate: lm.nn_from_candidates(
                     cache[0], cache[1], warped,
-                    jnp.minimum(gate, config.voxel_size),
+                    jnp.minimum(
+                        gate,
+                        (1.0 - config.voxel_cache_margin) * config.voxel_size,
+                    ),
                 ),
             )
 
@@ -633,7 +640,17 @@ class BatchedICPOdometry:
     """
 
     def __init__(self, config: Optional[ICPConfig] = None, mesh=None):
-        self.config = config or ICPConfig()
+        import dataclasses
+
+        config = config or ICPConfig()
+        if config.association == "voxel" and config.voxel_candidate_cache:
+            # under vmap the movement-gated refresh lax.cond lowers to a
+            # select that executes BOTH branches — the gather the cache
+            # exists to avoid would run every iteration anyway, plus the
+            # cache would be carried through the loop. Exact re-gathering is
+            # strictly cheaper here.
+            config = dataclasses.replace(config, voxel_candidate_cache=False)
+        self.config = config
         self.mesh = mesh
         self._sharding = None
         if mesh is not None:

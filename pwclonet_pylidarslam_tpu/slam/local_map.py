@@ -183,18 +183,33 @@ def build_voxel_table(
     assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
     from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
 
-    m = points.shape[0]
     vox = jnp.floor(points / voxel_size).astype(jnp.int32)
-    h = voxel_hash(vox) & (table_size - 1)
-    h = jnp.where(valid > 0, h, table_size)  # invalid rows to overflow bucket
+    row_id = voxel_hash(vox) & (table_size - 1)
+    return scatter_buckets(points, normals, valid > 0, row_id, table_size, bucket_cap)
+
+
+def scatter_buckets(
+    points: jax.Array,
+    normals: jax.Array,
+    valid_rows: jax.Array,
+    row_id: jax.Array,
+    rows: int,
+    bucket_cap: int,
+) -> VoxelTable:
+    """The build core shared with the row-sharded table
+    (``parallel/sharded_map.py``): bucket ``points (M,3)`` by the precomputed
+    ``row_id (M,)`` (invalid rows masked by ``valid_rows``) into a
+    ``(rows, bucket_cap, 3)`` store — one stable sort + one unique scatter."""
+    m = points.shape[0]
+    h = jnp.where(valid_rows, row_id, rows)  # invalid rows to overflow bucket
     order = jnp.argsort(h)
     h_sorted = h[order]
     first_of_bucket = jnp.searchsorted(h_sorted, h_sorted, side="left")
     slot = jnp.arange(m, dtype=jnp.int32) - first_of_bucket.astype(jnp.int32)
-    keep = jnp.logical_and(slot < bucket_cap, h_sorted < table_size)
+    keep = jnp.logical_and(slot < bucket_cap, h_sorted < rows)
     dest = h_sorted * bucket_cap + jnp.clip(slot, 0, bucket_cap - 1)
-    dest = jnp.where(keep, dest, table_size * bucket_cap)  # dropped → spill row
-    flat = jnp.full((table_size * bucket_cap + 1,), m, jnp.int32)
+    dest = jnp.where(keep, dest, rows * bucket_cap)  # dropped → spill row
+    flat = jnp.full((rows * bucket_cap + 1,), m, jnp.int32)
     flat = flat.at[dest].set(order.astype(jnp.int32), mode="drop")
     idx_grid = flat[:-1]
     sentinel = jnp.full((1, 3), 1e9, points.dtype)
@@ -202,9 +217,35 @@ def build_voxel_table(
     points_pad = jnp.concatenate([points, sentinel])
     normals_pad = jnp.concatenate([normals, zero])
     return VoxelTable(
-        points=points_pad[idx_grid].reshape(table_size, bucket_cap, 3),
-        normals=normals_pad[idx_grid].reshape(table_size, bucket_cap, 3),
+        points=points_pad[idx_grid].reshape(rows, bucket_cap, 3),
+        normals=normals_pad[idx_grid].reshape(rows, bucket_cap, 3),
     )
+
+
+def neighbor_bucket_hashes(
+    query: jax.Array, voxel_size: float, table_size: int, neighborhood: int
+) -> jax.Array:
+    """Global table rows of each query's neighbor buckets ``(N, k)``.
+
+    ``neighborhood=8``: half-offset 2x2x2 cells of ``2*voxel_size`` (build
+    the table with that cell size); ``27``: 3x3x3 cells of ``voxel_size``.
+    The ONE implementation of the neighbor rule — shared by ``voxel_nn``,
+    ``gather_voxel_candidates`` and the row-sharded query."""
+    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
+
+    if neighborhood == 8:
+        cell = 2.0 * voxel_size
+        t = query / cell
+        c = jnp.floor(t).astype(jnp.int32)
+        # pick the neighbor on the side the query sits in, per axis
+        shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
+        offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)  # (8, 3)
+        neigh = (c + shift)[:, None, :] + offsets[None]
+    else:
+        vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
+        offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
+        neigh = vox_q[:, None, :] + offsets[None]
+    return voxel_hash(neigh) & (table_size - 1)
 
 
 _NEIGHBOR_OFFSETS = tuple(
@@ -234,25 +275,10 @@ def voxel_nn(
     Returns ``(targets (N,3), normals (N,3), weights (N,))`` like
     ``associate``.
     """
-    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
-
     table_size, bucket_cap, _ = table.points.shape
     n = query.shape[0]
-    if neighborhood == 8:
-        cell = 2.0 * voxel_size
-        t = query / cell
-        c = jnp.floor(t).astype(jnp.int32)
-        # pick the neighbor on the side the query sits in, per axis
-        shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
-        offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)  # (8, 3)
-        neigh = (c + shift)[:, None, :] + offsets[None]  # (N, 8, 3)
-        k = 8
-    else:
-        vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
-        offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
-        neigh = vox_q[:, None, :] + offsets[None]  # (N, 27, 3)
-        k = 27
-    h = voxel_hash(neigh) & (table_size - 1)  # (N, k)
+    h = neighbor_bucket_hashes(query, voxel_size, table_size, neighborhood)
+    k = h.shape[1]
     cand = table.points[h].reshape(n, k * bucket_cap, 3)  # bucket-rows gather
     d2 = jnp.sum((cand - query[:, None, :]) ** 2, axis=-1)
     best = jnp.argmin(d2, axis=-1)
@@ -283,24 +309,10 @@ def gather_voxel_candidates(
     gathered at the prior-warped positions stays valid for the whole solve —
     iterations then re-associate with :func:`nn_from_candidates`, a streaming
     argmin over the cached candidates (no gathers)."""
-    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
-
     table_size, bucket_cap, _ = table.points.shape
     n = query.shape[0]
-    if neighborhood == 8:
-        cell = 2.0 * voxel_size
-        t = query / cell
-        c = jnp.floor(t).astype(jnp.int32)
-        shift = jnp.where(t - c >= 0.5, 0, -1).astype(jnp.int32)
-        offsets = jnp.asarray(_OCTANT_OFFSETS, jnp.int32)
-        neigh = (c + shift)[:, None, :] + offsets[None]
-        k = 8
-    else:
-        vox_q = jnp.floor(query / voxel_size).astype(jnp.int32)
-        offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)
-        neigh = vox_q[:, None, :] + offsets[None]
-        k = 27
-    h = voxel_hash(neigh) & (table_size - 1)  # (N, k)
+    h = neighbor_bucket_hashes(query, voxel_size, table_size, neighborhood)
+    k = h.shape[1]
     cand_pts = table.points[h].reshape(n, k * bucket_cap, 3)
     cand_nrm = table.normals[h].reshape(n, k * bucket_cap, 3)
     return cand_pts, cand_nrm

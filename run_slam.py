@@ -30,7 +30,7 @@ class RunConfig:
     max_frames: int = 0  # 0 = all
     odometry: str = "icp"  # icp | ct_icp | ct_icp_rigid | pwclonet | posenet
     checkpoint_dir: str = ""  # train_net log_dir (deep odometry front-ends)
-    fused_eval: bool = True  # deep front-ends: fused Pallas eval kernels
+    fused_eval: bool = False  # deep front-ends: fused Pallas eval kernels (TPU)
     vm_height: int = 64  # posenet vertex-map shape (must match training)
     vm_width: int = 720
     association: str = "projective"  # projective (fast) | voxel (accuracy, KdTree-F2M)
@@ -179,6 +179,8 @@ def main(argv: Optional[List[str]] = None):
     if config.batched:
         if config.with_loop_closure or config.with_backend or config.resume:
             raise SystemExit("batched=true is odometry-only (no loop closure/backend/resume)")
+        if config.snapshot_every_frames:
+            raise SystemExit("batched=true does not support snapshots")
         if config.odometry != "icp":
             raise SystemExit("batched=true supports odometry=icp")
         return run_batched(config)
@@ -296,17 +298,46 @@ def run_batched(config: "RunConfig") -> int:
     t_total = min(len(src) for src in sources.values())
     if config.max_frames:
         t_total = min(t_total, config.max_frames)
+    # same float32 transfer as the non-batched path — identical trajectories
+    # modulo vmap reassociation noise (int16 transfer stays opt-in via the
+    # library API, where range limits are the caller's contract)
     odo = BatchedICPOdometry(
         ICPConfig(
             num_points=config.num_points,
             association=config.association,
             bev_bootstrap=config.bev_bootstrap,
-            transfer_dtype="int16",
-            transfer_scale=0.003,
         )
     )
     odo.init(n_sequences=len(names))
+    import contextlib
+
+    if config.profile_dir:
+        from pwclonet_pylidarslam_tpu.utils.timer import profiler_trace
+
+        trace_cm = profiler_trace(config.profile_dir)
+    else:
+        trace_cm = contextlib.nullcontext()
     chunk = 32
+    with trace_cm:
+        _run_batched_chunks(config, odo, sources, t_total, chunk)
+    poses = odo.absolute_poses()
+    results = OdometryResults(config.log_dir)
+    rc = 0
+    for i, name in enumerate(names):
+        gt = sources[name].ground_truth()
+        md = results.add_sequence(
+            name, poses[i], None if gt is None else np.asarray(gt)[:t_total]
+        )
+        if md:
+            print(f"{name}: t_rel={md.get('tr_err', float('nan')):.4f}% ATE={md['ATE']:.4f} m")
+    return rc
+
+
+def _run_batched_chunks(config, odo, sources, t_total, chunk):
+    import numpy as np
+
+    from pwclonet_pylidarslam_tpu.slam.icp_odometry import fix_scan_size
+
     for start in range(0, t_total, chunk):
         end = min(start + chunk, t_total)
         batch = np.stack(
@@ -319,17 +350,6 @@ def run_batched(config: "RunConfig") -> int:
             ]
         )
         odo.process_chunk(batch)
-    poses = odo.absolute_poses()
-    results = OdometryResults(config.log_dir)
-    rc = 0
-    for i, name in enumerate(names):
-        gt = sources[name].ground_truth()
-        md = results.add_sequence(
-            name, poses[i], None if gt is None else np.asarray(gt)[:t_total]
-        )
-        if md:
-            print(f"{name}: t_rel={md.get('tr_err', float('nan')):.4f}% ATE={md['ATE']:.4f} m")
-    return rc
 
 
 def _ensure_dir(d):

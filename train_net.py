@@ -192,6 +192,39 @@ def run_train_posenet(config: Config) -> int:
     return 0
 
 
+def make_test_sequence(config: Config, s: int):
+    """Test-mode sequence source for BOTH deep odometry test CLIs
+    (pwclonet and posenet share the dataset selection)."""
+    if config.dataset == "synthetic":
+        from pwclonet_pylidarslam_tpu.data.synthetic import (
+            SyntheticSequenceConfig,
+            generate_sequence,
+        )
+
+        scans, gt = generate_sequence(
+            SyntheticSequenceConfig(n_frames=16, seed=s, num_points=config.num_points)
+        )
+
+        class _Synth:
+            def __len__(self):
+                return len(scans)
+
+            def scan(self, i):
+                return scans[i]
+
+            def ground_truth(self):
+                return gt
+
+        return _Synth()
+    if config.dataset == "kitti360":
+        from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
+
+        return Kitti360Sequence(config.root_dir, s)
+    from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
+
+    return KittiSequence(config.root_dir, s)
+
+
 def run_test_posenet(config: Config) -> int:
     """PoseResNet odometry over sequences with a trained checkpoint
     (ref ``posenet_odometry.py:46-122`` + eval)."""
@@ -221,40 +254,8 @@ def run_test_posenet(config: Config) -> int:
     )
     results = OdometryResults(f"{config.log_dir}/test")
 
-    def _test_sequence(s):
-        if config.dataset == "synthetic":
-            from pwclonet_pylidarslam_tpu.data.synthetic import (
-                SyntheticSequenceConfig,
-                generate_sequence,
-            )
-
-            scans, gt = generate_sequence(
-                SyntheticSequenceConfig(
-                    n_frames=16, seed=s, num_points=config.num_points
-                )
-            )
-
-            class _Synth:
-                def __len__(self):
-                    return len(scans)
-
-                def scan(self, i):
-                    return scans[i]
-
-                def ground_truth(self):
-                    return gt
-
-            return _Synth()
-        if config.dataset == "kitti360":
-            from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
-
-            return Kitti360Sequence(config.root_dir, s)
-        from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
-
-        return KittiSequence(config.root_dir, s)
-
     for s in _seqs(config.test_sequences):
-        seq = _test_sequence(s)
+        seq = make_test_sequence(config, s)
         odo.init()
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
@@ -437,40 +438,8 @@ def run_test(config: Config) -> int:
     )
     results = OdometryResults(f"{config.log_dir}/test")
 
-    def _test_sequence(s):
-        if config.dataset == "synthetic":
-            from pwclonet_pylidarslam_tpu.data.synthetic import (
-                SyntheticSequenceConfig,
-                generate_sequence,
-            )
-
-            scans, gt = generate_sequence(
-                SyntheticSequenceConfig(
-                    n_frames=16, seed=s, num_points=config.num_points
-                )
-            )
-
-            class _Synth:
-                def __len__(self):
-                    return len(scans)
-
-                def scan(self, i):
-                    return scans[i]
-
-                def ground_truth(self):
-                    return gt
-
-            return _Synth()
-        if config.dataset == "kitti360":
-            from pwclonet_pylidarslam_tpu.data.other_datasets import Kitti360Sequence
-
-            return Kitti360Sequence(config.root_dir, s)
-        from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
-
-        return KittiSequence(config.root_dir, s)
-
     for s in _seqs(config.test_sequences):
-        seq = _test_sequence(s)
+        seq = make_test_sequence(config, s)
         odo.init()
         for i in range(len(seq)):
             odo.process_next_frame(seq.scan(i))
