@@ -298,10 +298,48 @@ class OdometryResults:
           metrics.yaml          per-sequence metric dict
     """
 
+    _FRAME_GAP_M = 100.0  # incremental metric cadence (ref eval_odometry.py:_FRAME_GAP)
+
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.metrics: Dict[str, Dict[str, float]] = {}
+        self._incremental_done: Dict[str, int] = {}  # name -> milestones logged
+
+    def add_frames(
+        self,
+        sequence_name: str,
+        predicted: np.ndarray,
+        ground_truth: np.ndarray,
+    ) -> Optional[Dict[str, float]]:
+        """Incremental evaluation: every time the ground-truth trajectory
+        crosses another 100 m of travel, append a metric record (t_rel/ATE/
+        ARE over the trajectory SO FAR) to ``<seq>.incremental.jsonl`` —
+        the continuous regression signal of the reference
+        (``eval_odometry.py:539-654``; invoked from
+        ``odometry_runner.py:255-263``). Returns the newest record or None
+        if no new milestone was crossed."""
+        import json
+
+        n = min(len(predicted), len(ground_truth))
+        if n < 2:
+            return None
+        dist = metrics_mod.trajectory_distances(ground_truth[:n])
+        milestones = int(dist[-1] // self._FRAME_GAP_M)
+        done = self._incremental_done.get(sequence_name, 0)
+        if milestones <= done:
+            return None
+        md = metrics_mod.metrics_dict(predicted[:n], ground_truth[:n])
+        record = {
+            "frames": int(n),
+            "distance_m": float(dist[-1]),
+            **{k: v for k, v in md.items() if isinstance(v, (int, float))},
+        }
+        path = os.path.join(self.log_dir, f"{sequence_name}.incremental.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        self._incremental_done[sequence_name] = milestones
+        return record
 
     def add_sequence(
         self,

@@ -97,6 +97,13 @@ class SLAMRunner:
                     os.path.join(self.config.log_dir, f"{name}.partial.poses.txt"),
                     slam.absolute_poses(),
                 )
+                gt_so_far = source.ground_truth()
+                if gt_so_far is not None:
+                    # incremental per-100m metric record (ref
+                    # odometry_runner.py:255-263 continuous regression signal)
+                    self.results.add_frames(
+                        name, slam.absolute_poses(), gt_so_far[: i + 1]
+                    )
             if (
                 self.config.snapshot_every_frames
                 and (i + 1) % self.config.snapshot_every_frames == 0

@@ -148,3 +148,26 @@ def test_to_camera_coord_roundtrip(rng):
     fwd = results.to_camera_coord(np.eye(4)[None].repeat(1, 0) * 1.0)
     t = np.eye(4); t[:3, 3] = [0, 0, 1]
     np.testing.assert_allclose(results.to_camera_coord(t[None])[0, :3, 3], [0, -1, 0], atol=1e-12)
+
+
+def test_incremental_add_frames(tmp_path):
+    """Per-100m incremental metric records (ref eval_odometry.py:539-654)."""
+    import json
+    import os
+
+    from pwclonet_pylidarslam_tpu.evaluation.results import OdometryResults
+
+    r = OdometryResults(str(tmp_path))
+    gt = np.tile(np.eye(4), (300, 1, 1))
+    gt[:, 0, 3] = 1.5 * np.arange(300)
+    pred = gt.copy()
+    pred[:, 1, 3] = 0.01 * np.arange(300)
+    assert r.add_frames("s", pred[:50], gt[:50]) is None  # 73 m: no milestone
+    rec = r.add_frames("s", pred[:100], gt[:100])
+    assert rec is not None and rec["frames"] == 100 and "tr_err" in rec
+    assert r.add_frames("s", pred[:101], gt[:101]) is None  # same milestone
+    assert r.add_frames("s", pred[:300], gt[:300]) is not None
+    with open(os.path.join(tmp_path, "s.incremental.jsonl")) as fh:
+        records = [json.loads(line) for line in fh]
+    assert len(records) == 2
+    assert records[1]["distance_m"] > records[0]["distance_m"]
