@@ -51,8 +51,19 @@ class CTICPConfig:
     ``CTICPOptionsWrapper``/``OdometryOptionsWrapper``, re-parameterized for
     this solver)."""
 
-    projector: SphericalProjector = SphericalProjector()
+    # None = density-matched resolution (same rule as ICPConfig)
+    projector: "SphericalProjector | None" = None
     num_points: int = 8192
+
+    def __post_init__(self):
+        if self.projector is None:
+            from pwclonet_pylidarslam_tpu.core.projection import (
+                density_matched_projector,
+            )
+
+            object.__setattr__(
+                self, "projector", density_matched_projector(self.num_points)
+            )
     local_map_size: int = 20
     max_num_alignments: int = 15
     threshold_delta_pose: float = 1e-4

@@ -37,17 +37,10 @@ from pwclonet_pylidarslam_tpu.slam import local_map as lm
 class ICPConfig:
     """Config mirroring ``ICPFrameToModelConfig`` (ref icp_odometry.py:30-65)."""
 
-    # None = auto-scale the vertex-map resolution to the scan density
-    # (see __post_init__): a 64x720 map at 1024 points/scan is 2% occupied
-    # and its box-filter normals collapse (measured: 40% drift vs 4% with a
-    # density-matched 32x384 map). Pass an explicit projector to override.
+    # None = vertex-map resolution auto-matched to scan density (see
+    # core.projection.density_matched_projector and __post_init__ below);
+    # pass an explicit projector to override.
     projector: Optional[SphericalProjector] = None
-
-    def __post_init__(self):
-        if self.projector is None:
-            h = 64 if self.num_points >= 4096 else 32
-            w = max(64, min(720, (self.num_points * 8 // h) // 64 * 64))
-            object.__setattr__(self, "projector", SphericalProjector(height=h, width=w))
     num_points: int = 8192  # fixed scan size (pad/subsample on the host)
     local_map_size: int = 20
     max_num_alignments: int = 15
@@ -137,6 +130,16 @@ class ICPConfig:
     # device time; holding correspondences fixed for a few Newton steps
     # (classic nested-ICP) cuts it ~k× with no measurable accuracy cost.
     reassociate_every: int = 1
+
+    def __post_init__(self):
+        if self.projector is None:
+            from pwclonet_pylidarslam_tpu.core.projection import (
+                density_matched_projector,
+            )
+
+            object.__setattr__(
+                self, "projector", density_matched_projector(self.num_points)
+            )
 
 
 class OdometryState(NamedTuple):
