@@ -48,6 +48,16 @@ def _local_residuals(poses, edge_i, edge_j, edge_meas):
     return se3.log(err)
 
 
+def _local_prior_jacobians(poses, prior_node, prior_meas):
+    def one(pi, z):
+        def res(d):
+            return se3.log(se3.inverse(z) @ (poses[pi] @ se3.exp(d)))
+
+        return jax.jacfwd(res)(jnp.zeros(6, poses.dtype))
+
+    return jax.vmap(one)(prior_node, prior_meas)
+
+
 def optimize_sharded(
     graph: PoseGraph,
     mesh: Mesh,
@@ -62,29 +72,39 @@ def optimize_sharded(
     """
     n_dev = mesh.shape[axis]
     e = graph.edge_i.shape[0]
+    pr = graph.prior_node.shape[0]
     if e % n_dev != 0:
         raise ValueError(f"edge capacity {e} not divisible by mesh axis {n_dev}")
+    if pr % n_dev != 0:
+        raise ValueError(f"prior capacity {pr} not divisible by mesh axis {n_dev}")
 
-    free = graph.node_active.at[0].set(0.0)
+    free = graph.node_active.at[0].set(0.0) if config.anchor_first else graph.node_active
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
     )
-    def run(poses, edge_i, edge_j, edge_meas, edge_info, edge_active):
+    def run(poses, edge_i, edge_j, edge_meas, edge_info, edge_active,
+            prior_node, prior_meas, prior_info, prior_active):
         w_e = edge_active * 1.0
+        w_p = prior_active * 1.0
 
         def gn_iter(_, poses):
             res = _local_residuals(poses, edge_i, edge_j, edge_meas)
             ji, jj = _local_edge_jacobians(poses, edge_i, edge_j, edge_meas)
             info = edge_info * w_e[:, None]
+            pres = se3.log(se3.inverse(prior_meas) @ poses[prior_node])
+            jp = _local_prior_jacobians(poses, prior_node, prior_meas)
+            pinfo = prior_info * w_p[:, None]
 
-            def scatter_nodes(vals_i, vals_j):
+            def scatter_nodes(vals_i, vals_j, vals_p):
                 out = jnp.zeros((poses.shape[0], 6), poses.dtype)
                 out = out.at[edge_i].add(vals_i)
                 out = out.at[edge_j].add(vals_j)
+                out = out.at[prior_node].add(vals_p)
                 return jax.lax.psum(out, axis) * free[:, None]
 
             def h_matvec(v):
@@ -92,21 +112,28 @@ def optimize_sharded(
                 vj = v[edge_j]
                 u = jnp.einsum("eab,eb->ea", ji, vi, precision=_HP) + jnp.einsum("eab,eb->ea", jj, vj, precision=_HP)
                 u = u * info
+                up = jnp.einsum("pab,pb->pa", jp, v[prior_node], precision=_HP) * pinfo
                 y = scatter_nodes(
-                    jnp.einsum("eba,eb->ea", ji, u, precision=_HP), jnp.einsum("eba,eb->ea", jj, u, precision=_HP)
+                    jnp.einsum("eba,eb->ea", ji, u, precision=_HP),
+                    jnp.einsum("eba,eb->ea", jj, u, precision=_HP),
+                    jnp.einsum("pba,pb->pa", jp, up, precision=_HP),
                 )
                 return y + config.damping * v
 
             wr = res * info
             g = scatter_nodes(
-                jnp.einsum("eba,eb->ea", ji, wr, precision=_HP), jnp.einsum("eba,eb->ea", jj, wr, precision=_HP)
+                jnp.einsum("eba,eb->ea", ji, wr, precision=_HP),
+                jnp.einsum("eba,eb->ea", jj, wr, precision=_HP),
+                jnp.einsum("pba,pb->pa", jp, pres * pinfo, precision=_HP),
             )
 
             hii = jnp.einsum("eba,ebc->eac", ji, ji * info[:, :, None], precision=_HP)
             hjj = jnp.einsum("eba,ebc->eac", jj, jj * info[:, :, None], precision=_HP)
+            hpp = jnp.einsum("pba,pbc->pac", jp, jp * pinfo[:, :, None], precision=_HP)
             diag = jnp.zeros((poses.shape[0], 6, 6), poses.dtype)
             diag = diag.at[edge_i].add(hii)
             diag = diag.at[edge_j].add(hjj)
+            diag = diag.at[prior_node].add(hpp)
             diag = jax.lax.psum(diag, axis)
             diag = diag + jnp.eye(6, dtype=poses.dtype) * (config.damping + 1e-8)
             diag_inv = jnp.linalg.inv(diag)
@@ -127,13 +154,47 @@ def optimize_sharded(
             x0 = jnp.zeros_like(g)
             r0 = -g
             z0 = precond(r0)
-            x, _, _, _ = jax.lax.fori_loop(
-                0, config.cg_iterations, cg_body, (x0, r0, z0, z0)
+            rz0 = jnp.sum(r0 * z0)
+
+            # CG scalars are replicated across shards (h_matvec psums), so
+            # the early-exit predicate agrees on every device
+            def cg_cond(state):
+                it, x, r, z, p = state
+                return jnp.logical_and(
+                    it < config.cg_iterations,
+                    jnp.sum(r * z) > config.cg_tolerance * rz0,
+                )
+
+            def cg_body2(state):
+                it, x, r, z, p = state
+                x, r, z, p = cg_body(None, (x, r, z, p))
+                return it + 1, x, r, z, p
+
+            _, x, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body2, (jnp.zeros((), jnp.int32), x0, r0, z0, z0)
             )
             dx = x * free[:, None]
-            return poses @ se3.exp(dx)
+            return poses @ se3.exp(dx), jnp.max(jnp.abs(dx))
 
-        poses = jax.lax.fori_loop(0, config.max_iterations, gn_iter, graph.poses)
+        # same convergence exit as backend.optimize — dx is replicated across
+        # shards (all inputs psum'd), so the predicate agrees on every device
+        def cond(state):
+            it, _, step = state
+            return jnp.logical_and(
+                it < config.max_iterations, step > config.step_tolerance
+            )
+
+        def body(state):
+            it, poses, _ = state
+            poses, step = gn_iter(None, poses)
+            return it + 1, poses, step
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            graph.poses,
+            jnp.asarray(jnp.inf, graph.poses.dtype),
+        )
+        _, poses, _ = jax.lax.while_loop(cond, body, init)
         return se3.normalize(poses)
 
     # place edge shards + replicated nodes
@@ -143,7 +204,8 @@ def optimize_sharded(
     args = [
         jax.device_put(a, edge_sh)
         for a in (graph.edge_i, graph.edge_j, graph.edge_meas, graph.edge_info,
-                  graph.edge_active)
+                  graph.edge_active, graph.prior_node, graph.prior_meas,
+                  graph.prior_info, graph.prior_active)
     ]
     new_poses = run(poses, *args)
     return graph._replace(poses=new_poses)

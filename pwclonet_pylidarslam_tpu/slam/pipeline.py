@@ -43,6 +43,11 @@ class SLAMConfig:
     with_backend: bool = False
     backend_max_nodes: int = 8192
     backend_max_edges: int = 16384
+    backend_max_priors: int = 256
+    # the reference only re-optimizes when a loop edge arrives
+    # (backend.py:376-385); set this to also optimize whenever a GPS/absolute
+    # constraint is attached
+    optimize_on_absolute: bool = False
     pgo: backend_mod.PGOConfig = dataclasses.field(default_factory=backend_mod.PGOConfig)
 
 
@@ -67,22 +72,40 @@ class SLAM:
             self.loop_closure.reset()
         if self.config.with_backend:
             self.builder = backend_mod.PoseGraphBuilder(
-                self.config.backend_max_nodes, self.config.backend_max_edges
+                self.config.backend_max_nodes,
+                self.config.backend_max_edges,
+                self.config.backend_max_priors,
             )
         self._optimized_poses = None
         self._prev_pose = None
         self.elapsed = []
 
-    def process_next_frame(self, points: np.ndarray) -> np.ndarray:
-        """One frame ``(N, 3)`` → current absolute pose estimate ``(4, 4)``."""
+    def process_next_frame(
+        self,
+        points: np.ndarray,
+        absolute_pose_gps: Optional[np.ndarray] = None,
+        absolute_information: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """One frame ``(N, 3)`` → current absolute pose estimate ``(4, 4)``.
+
+        ``absolute_pose_gps``: optional GPS/absolute measurement of this
+        frame's pose — harvested into a unary prior edge on the pose graph
+        (ref ``se3_absolute_constraint_<i>``, backend.py:275-330).
+        """
         t0 = time.perf_counter()
         pose = self.odometry.process_next_frame(points)
 
+        has_absolute = False
         if self.builder is not None:
             node = self.builder.add_node(pose)
             if node > 0:
                 rel = np.linalg.inv(self._prev_pose) @ pose
                 self.builder.add_odometry_edge(node - 1, rel)
+            if absolute_pose_gps is not None:
+                self.builder.add_absolute_edge(
+                    node, absolute_pose_gps, absolute_information
+                )
+                has_absolute = True
         self._prev_pose = pose
 
         new_constraints = []
@@ -95,22 +118,30 @@ class SLAM:
                     )
 
         # optimize only when a loop constraint arrives (ref backend.py:376-385)
-        if self.builder is not None and new_constraints:
-            graph = self.builder.to_device()
-            out = backend_mod.optimize(graph, self.config.pgo)
-            n = len(self.builder.poses)
-            optimized = np.asarray(out.poses[:n], np.float64)
-            self._optimized_poses = optimized
-            # resync all components to the corrected trajectory (ref slam.py:165-167)
-            self.builder.poses = [optimized[i] for i in range(n)]
-            if self.loop_closure is not None:
-                self.loop_closure.update_positions(optimized)
-            self._prev_pose = optimized[-1]
-            self._resync_odometry(optimized[-1])
-            pose = optimized[-1]
+        # — or, if configured, when an absolute constraint is attached
+        if self.builder is not None and (
+            new_constraints or (has_absolute and self.config.optimize_on_absolute)
+        ):
+            pose = self.optimize_now()
 
         self.elapsed.append(time.perf_counter() - t0)
         return pose
+
+    def optimize_now(self) -> np.ndarray:
+        """Force a pose-graph optimization + full component resync; returns
+        the corrected current pose."""
+        graph = self.builder.to_device()
+        out = backend_mod.optimize(graph, self.config.pgo)
+        n = len(self.builder.poses)
+        optimized = np.asarray(out.poses[:n], np.float64)
+        self._optimized_poses = optimized
+        # resync all components to the corrected trajectory (ref slam.py:165-167)
+        self.builder.poses = [optimized[i] for i in range(n)]
+        if self.loop_closure is not None:
+            self.loop_closure.update_positions(optimized)
+        self._prev_pose = optimized[-1]
+        self._resync_odometry(optimized[-1])
+        return optimized[-1]
 
     def _resync_odometry(self, corrected_pose: np.ndarray):
         """Push the backend-corrected pose into the odometry state so future
@@ -177,6 +208,10 @@ class SLAM:
                 misc["edge_j"] = np.asarray([e[1] for e in self.builder.edges])
                 misc["edge_meas"] = np.stack([e[2] for e in self.builder.edges])
                 misc["edge_info"] = np.stack([e[3] for e in self.builder.edges])
+            if self.builder.priors:
+                misc["prior_node"] = np.asarray([p[0] for p in self.builder.priors])
+                misc["prior_meas"] = np.stack([p[1] for p in self.builder.priors])
+                misc["prior_info"] = np.stack([p[2] for p in self.builder.priors])
         np.savez_compressed(os.path.join(directory, "pipeline.npz"), **misc)
 
     def restore(self, directory: str) -> None:
@@ -202,5 +237,12 @@ class SLAM:
                     for i, j, m, info in zip(
                         data["edge_i"], data["edge_j"],
                         data["edge_meas"], data["edge_info"],
+                    )
+                ]
+            if "prior_node" in data:
+                self.builder.priors = [
+                    (int(i), m, info)
+                    for i, m, info in zip(
+                        data["prior_node"], data["prior_meas"], data["prior_info"]
                     )
                 ]

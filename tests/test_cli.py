@@ -14,6 +14,7 @@ import pytest
 import yaml
 
 
+@pytest.mark.slow
 def test_run_slam_then_replay(tmp_path):
     import replay_slam
     import run_slam
@@ -40,6 +41,7 @@ def test_run_slam_then_replay(tmp_path):
     assert rep.shape == (6, 12)
 
 
+@pytest.mark.slow
 def test_train_net_train_then_test(tmp_path):
     import train_net
 
@@ -82,6 +84,7 @@ def test_train_net_train_then_test(tmp_path):
     assert poses.shape == (8, 12) and np.isfinite(poses).all()
 
 
+@pytest.mark.slow
 def test_run_slam_failure_isolation(tmp_path):
     # a broken source must not take down the other sequences (ref
     # odometry_runner.py:113-135 failure handling)
@@ -110,6 +113,7 @@ def test_run_slam_failure_isolation(tmp_path):
     assert "synth00" in results and results["synth00"] is not None
 
 
+@pytest.mark.slow
 def test_run_slam_on_kitti_tree(tmp_path):
     # structured synthetic world written in the real KITTI on-disk format
     # (velodyne .bin + calib Tr + cam-frame poses), driven through the real
@@ -158,6 +162,7 @@ def test_run_slam_on_kitti_tree(tmp_path):
     assert md["ATE"] < 1.0, md
 
 
+@pytest.mark.slow
 def test_run_slam_batched_mode(tmp_path):
     # batched=true: all sequences advance in one vmapped dispatch stream
     import run_slam

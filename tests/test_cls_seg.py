@@ -37,6 +37,7 @@ def _cloud(key, b=2, n=128):
     return jax.random.normal(key, (b, n, 3)) * 2.0
 
 
+@pytest.mark.slow
 def test_setconv_msg_shapes_and_centering():
     xyz = _cloud(jax.random.key(0))
     feats = jax.random.normal(jax.random.key(1), (2, 128, 5))
@@ -73,6 +74,7 @@ def test_feature_propagation_broadcast_and_interp():
     assert out.shape == (2, 64, 8)
 
 
+@pytest.mark.slow
 def test_lfp_module_msg_shapes():
     xyz1 = _cloud(jax.random.key(0), n=64)
     xyz2 = _cloud(jax.random.key(1), n=32)
@@ -113,6 +115,7 @@ def _train_steps(model, variables, batch, labels, loss_fn, steps=5):
 
 
 @pytest.mark.parametrize("stages", [TINY_CLS])
+@pytest.mark.slow
 def test_classification_trains(stages):
     xyz = _cloud(jax.random.key(0), b=4, n=128)
     labels = jnp.asarray([0, 1, 2, 3])
@@ -130,6 +133,7 @@ def test_classification_trains(stages):
     assert losses[-1] < losses[0] * 1.5
 
 
+@pytest.mark.slow
 def test_segmentation_trains():
     xyz = _cloud(jax.random.key(0), b=2, n=64)
     labels = jax.random.randint(jax.random.key(1), (2, 64), 0, 3)

@@ -32,6 +32,7 @@ def distorted_sequence():
 
 
 class TestCTICP:
+    @pytest.mark.slow
     def test_tracks_distorted_sequence(self, distorted_sequence):
         scans, times, gt = distorted_sequence
         odo = CTICPOdometry(CTICPConfig())
@@ -39,6 +40,7 @@ class TestCTICP:
         odo.process_sequence(scans, times)
         assert _drift(odo.absolute_poses(), gt) < 0.02
 
+    @pytest.mark.slow
     def test_beats_rigid_icp_on_distorted_data(self, distorted_sequence):
         scans, times, gt = distorted_sequence
         ct = CTICPOdometry(CTICPConfig())
@@ -53,6 +55,7 @@ class TestCTICP:
         rigid_err = _drift(rigid.absolute_poses(), gt)
         assert ct_err < rigid_err
 
+    @pytest.mark.slow
     def test_elastic_continuity(self, distorted_sequence):
         """Begin pose of frame t stays near the end pose of frame t-1 (the
         location/orientation-consistency priors keep the trajectory
@@ -67,6 +70,7 @@ class TestCTICP:
             gap = np.linalg.norm(begins[t][:3, 3] - ends[t - 1][:3, 3])
             assert gap < 0.25, f"frame {t}: begin/end gap {gap:.3f} m"
 
+    @pytest.mark.slow
     def test_azimuth_timestamp_fallback(self, distorted_sequence):
         """Without explicit timestamps the azimuth estimate stands in (the
         synthetic sweep IS azimuth-ordered, so accuracy should hold)."""
@@ -76,6 +80,7 @@ class TestCTICP:
         odo.process_sequence(scans)
         assert _drift(odo.absolute_poses(), gt) < 0.03
 
+    @pytest.mark.slow
     def test_clean_data_parity(self):
         """On pre-deskewed data, elastic=False (the reference's
         MOTION_COMPENSATION=NONE analogue) matches the rigid pipeline."""

@@ -1,5 +1,6 @@
 """Deep odometry front-ends: batched sequence API matches per-frame."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def _scans(t=5, n=256, seed=0):
     return (rng.normal(size=(t, n, 3)) * 8.0).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pwclonet_odometry_sequence_matches_per_frame():
     from pwclonet_pylidarslam_tpu.models import PWCLONet
 
@@ -55,6 +57,7 @@ def test_pwclonet_odometry_sequence_matches_per_frame():
     np.testing.assert_allclose(c.absolute_poses(), a.absolute_poses(), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_posenet_odometry_sequence_matches_per_frame():
     from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
 

@@ -130,6 +130,7 @@ class TestBEVBootstrap:
         dist = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum()
         return d / max(dist, 1e-9)
 
+    @pytest.mark.slow
     def test_rescues_fast_rotation(self, fast_turn):
         scans, gt = fast_turn
         boot = ICPOdometry(ICPConfig(bev_bootstrap=True))
@@ -146,6 +147,7 @@ class TestBEVBootstrap:
         plain.process_sequence(scans)
         assert self._drift(plain.absolute_poses(), gt) > 0.03
 
+    @pytest.mark.slow
     def test_no_regression_on_gentle_motion(self):
         cfg = SyntheticSequenceConfig(
             n_frames=10, trajectory="curve", speed=1.0, seed=2
@@ -161,6 +163,7 @@ class TestStreamingOptimizations:
     """The tuned streaming config (strided map inserts + int16 scan
     transfer) must not cost accuracy."""
 
+    @pytest.mark.slow
     def test_strided_map_and_int16_transfer(self):
         cfg = SyntheticSequenceConfig(
             n_frames=12, trajectory="curve", speed=1.2, seed=7
@@ -186,6 +189,7 @@ class TestStreamingOptimizations:
         np.testing.assert_allclose(q[0] * 0.003, pts[0], atol=0.002)
 
 
+@pytest.mark.slow
 def test_lazy_model_rebuild_matches_eager():
     """Staleness-gated model re-projection must not degrade the trajectory
     (it registers in the cached model frame instead of the predicted one)."""
@@ -235,6 +239,7 @@ def test_world_along_path_keeps_structure_on_turns():
         assert above_ground.shape[0] > 200, (t, above_ground.shape)
 
 
+@pytest.mark.slow
 def test_snapshot_restore_resumes_bit_exact(tmp_path):
     """Crash-resume: restoring a snapshot and reprocessing the same frames
     must reproduce the uninterrupted trajectory exactly."""
@@ -266,6 +271,7 @@ def test_snapshot_restore_resumes_bit_exact(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_voxel_nn_matches_brute_force():
     """Voxel-hash NN returns the exact nearest neighbor within reach."""
     from pwclonet_pylidarslam_tpu.slam import local_map as lm
@@ -289,6 +295,7 @@ def test_voxel_nn_matches_brute_force():
     assert checked > 10
 
 
+@pytest.mark.slow
 def test_voxel_association_icp_accuracy():
     """The KdTree-equivalent voxel mode must beat the 1% drift gate (it is
     the accuracy-first configuration, like the reference's KdTree F2M)."""
@@ -310,6 +317,7 @@ def test_voxel_association_icp_accuracy():
     assert drift < 0.01, drift
 
 
+@pytest.mark.slow
 def test_voxel_nn_octant_mode_exact():
     """The 8-cell half-offset neighborhood must stay exact within reach
     (cells are 2x reach; each query gathers only its nearest octant)."""
@@ -333,6 +341,7 @@ def test_voxel_nn_octant_mode_exact():
     assert checked > 10
 
 
+@pytest.mark.slow
 def test_batched_matches_single_sequence():
     """BatchedICPOdometry (vmap over sequences) must reproduce the
     single-sequence driver's trajectories."""
@@ -370,6 +379,7 @@ def test_batched_matches_single_sequence():
         np.testing.assert_allclose(poses[i], singles[i], atol=1e-2)
 
 
+@pytest.mark.slow
 def test_batched_sharded_over_mesh():
     """Sequence axis sharded over the 8-device CPU mesh."""
     from pwclonet_pylidarslam_tpu.data.synthetic import (

@@ -82,6 +82,7 @@ class TestSpectralRegistration:
 
 
 class TestLoopClosure:
+    @pytest.mark.slow
     def test_detects_revisit(self, rng):
         # trajectory visits the same place twice, far apart in time
         cfg = LoopClosureConfig(

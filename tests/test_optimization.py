@@ -5,6 +5,7 @@ a random small SE(3) perturbation applied to a random cloud must be recovered
 by GN + point-to-plane / point-to-point cost to high precision.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ def test_point_to_point_recovers_perturbation(rng):
     np.testing.assert_allclose(np.asarray(result.pose), gt_pose, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_analytic_jacobian_matches_autodiff(rng):
     src, tgt, normals, _ = _make_problem(rng, b=2, n=50)
     pose = se3.exp(jnp.asarray(rng.normal(size=(2, 6)) * 0.05))
@@ -109,6 +111,7 @@ def test_mask_excludes_points(rng):
     np.testing.assert_allclose(np.asarray(result.pose), gt_pose, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_warm_start_from_init_pose(rng):
     src, tgt, normals, gt_pose = _make_problem(rng, b=2, n=300, twist_scale=0.4)
     # a large perturbation converges when warm-started near the answer

@@ -62,6 +62,7 @@ class TestPallasFusedMLPMaxpool:
         bs = jax.tree.map(lambda a: a + 0.3, vs["batch_stats"])
         return m, {"params": vs["params"], "batch_stats": bs}, x
 
+    @pytest.mark.slow
     def test_matches_unfused(self, rng):
         import jax
 
@@ -81,6 +82,7 @@ class TestPallasFusedMLPMaxpool:
             fused = m.apply(vs, x, train=False, maxpool=True, fused=True)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_train_path_unchanged_by_flag(self, rng):
         # fused=True must be a no-op in train mode (stats need the full tensor)
         m, vs, x = self._build(rng)
@@ -91,6 +93,7 @@ class TestPallasFusedMLPMaxpool:
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
         assert "batch_stats" in mut
 
+    @pytest.mark.slow
     def test_pwclonet_fused_eval_close(self, rng):
         # whole-model check: fused_eval config reproduces the eval forward
         import jax
@@ -124,6 +127,7 @@ class TestPallasCostVolume:
         m = CostVolume(nsample=4, nsample_q=k, fused_eval=fused)
         return m, (xyz1, f1, xyz2, f2)
 
+    @pytest.mark.slow
     def test_matches_unfused(self, rng):
         import jax
         from pwclonet_pylidarslam_tpu.models.costvolume import CostVolume
@@ -138,6 +142,7 @@ class TestPallasCostVolume:
             out = fused.apply(vs, *args, train=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_variable_tree_identical(self, rng):
         # the fused branch must create exactly the same params/batch_stats
         import jax
@@ -151,6 +156,7 @@ class TestPallasCostVolume:
         chex = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), v0, v1)
         assert max(jax.tree.leaves(chex)) == 0.0
 
+    @pytest.mark.slow
     def test_unaligned_center_tiling(self, rng):
         # K=6 with many centers: forces the sublane-aligned partial tile path
         import jax

@@ -24,6 +24,7 @@ def test_mesh_shapes():
         make_mesh(n_data=16, n_model=2)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     from pwclonet_pylidarslam_tpu.models import PWCLONetConfig
     from pwclonet_pylidarslam_tpu.train.state import (
@@ -85,15 +86,48 @@ def _circle_graph(n=40, max_edges=64, dtype=jnp.float64):
     return gt, builder.to_device(dtype)
 
 
+@pytest.mark.slow
 def test_sharded_pgo_matches_single_device():
     gt, graph = _circle_graph()
     cfg = backend.PGOConfig(max_iterations=10)
     single = backend.optimize(graph, cfg)
     mesh = make_mesh()
     sharded = optimize_sharded(graph, mesh, cfg)
+    # the adaptive CG/GN exits may flip one iteration on psum reduction-order
+    # noise near the threshold, so equality is to solver tolerance, not ulp
     np.testing.assert_allclose(
-        np.asarray(sharded.poses), np.asarray(single.poses), atol=1e-8
+        np.asarray(sharded.poses), np.asarray(single.poses), atol=5e-6
     )
+    np.testing.assert_allclose(
+        float(backend.graph_cost(sharded)), float(backend.graph_cost(single)),
+        rtol=1e-9,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_pgo_with_gps_priors_matches_single_device():
+    from tests.test_backend import circle_poses, drifted_odometry
+
+    rng = np.random.default_rng(5)
+    gt = circle_poses(40)
+    drifted, rels = drifted_odometry(gt, rng, noise_trans=0.05)
+    builder = backend.PoseGraphBuilder(max_nodes=64, max_edges=64, max_priors=8)
+    for p in drifted:
+        builder.add_node(p)
+    for i, r in enumerate(rels):
+        builder.add_odometry_edge(i, r)
+    for i in (15, 39):
+        builder.add_absolute_edge(i, gt[i])
+    graph = builder.to_device(jnp.float64)
+    cfg = backend.PGOConfig(max_iterations=10)
+    single = backend.optimize(graph, cfg)
+    sharded = optimize_sharded(graph, make_mesh(), cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses), np.asarray(single.poses), atol=5e-6
+    )
+    # priors actually pulled the trajectory toward the fixes
+    opt = np.asarray(sharded.poses[:40])
+    assert np.linalg.norm(opt[39, :3, 3] - gt[39, :3, 3]) < 0.35
 
 
 def test_sharded_pgo_rejects_bad_capacity():
@@ -121,6 +155,7 @@ def _plane_world(rng, n=512):
     )
 
 
+@pytest.mark.slow
 def test_sharded_icp_matches_single_device():
     from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_plane
     from pwclonet_pylidarslam_tpu.parallel import solve_point_to_plane_sharded
@@ -139,6 +174,7 @@ def test_sharded_icp_matches_single_device():
     np.testing.assert_allclose(np.asarray(out.pose[0]), true_pose, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_icp_point_to_point():
     from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_point
     from pwclonet_pylidarslam_tpu.parallel import solve_point_to_point_sharded
@@ -161,6 +197,7 @@ def test_sharded_icp_rejects_bad_capacity():
         solve_point_to_plane_sharded(x, x, x, mesh)
 
 
+@pytest.mark.slow
 def test_scaling_harness_tiny():
     from pwclonet_pylidarslam_tpu.parallel.scaling import ScalingConfig, measure_scaling
 
@@ -184,6 +221,7 @@ class TestShardedVoxelMap:
         valid = (rng.uniform(size=m) > 0.1).astype(np.float32)
         return jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(valid)
 
+    @pytest.mark.slow
     def test_table_bit_identical(self, rng):
         from pwclonet_pylidarslam_tpu.parallel.sharded_map import build_voxel_table_sharded
         from pwclonet_pylidarslam_tpu.slam.local_map import build_voxel_table
@@ -197,6 +235,7 @@ class TestShardedVoxelMap:
         np.testing.assert_array_equal(np.asarray(sh.normals), np.asarray(ref.normals))
 
     @pytest.mark.parametrize("neighborhood", [27, 8])
+    @pytest.mark.slow
     def test_nn_matches_single_device(self, rng, neighborhood):
         from pwclonet_pylidarslam_tpu.parallel.sharded_map import (
             build_voxel_table_sharded,
@@ -227,6 +266,7 @@ class TestShardedVoxelMap:
             np.asarray(n_sh)[ok], np.asarray(n_ref)[ok], atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_alignment_through_sharded_map(self, rng):
         # end-to-end: sharded map association feeding the rigid solver
         from pwclonet_pylidarslam_tpu.core.optimization import solve_point_to_plane

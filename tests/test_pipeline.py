@@ -102,6 +102,7 @@ def test_runner_survives_failing_sequence(tmp_path, short_sequence):
     assert "disk on fire" in runner.failures["bad"]
 
 
+@pytest.mark.slow
 def test_benchmark_md(tmp_path, short_sequence):
     scans, gt = short_sequence
     for run in ("run_a", "run_b"):
@@ -147,6 +148,7 @@ def test_slam_loop_closure_backend_full(tmp_path):
     assert err.max() < 2.0
 
 
+@pytest.mark.slow
 def test_resync_applies_correction_to_whole_map():
     """A backend correction must transform ALL absolute poses in the odometry
     state (keyframe poses, model frame), not just the current pose — the
@@ -193,6 +195,7 @@ def test_resync_applies_correction_to_whole_map():
     np.testing.assert_allclose(got[7:], expected_tail, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pipeline_snapshot_restore(tmp_path):
     """Full-pipeline resume: snapshot mid-sequence with backend enabled,
     restore into a fresh SLAM, continue — identical trajectory."""
@@ -228,6 +231,7 @@ def test_pipeline_snapshot_restore(tmp_path):
     np.testing.assert_array_equal(full, slam2.absolute_poses())
 
 
+@pytest.mark.slow
 def test_runner_resumes_from_snapshot(tmp_path, short_sequence):
     """snapshot_every_frames + resume: a re-run continues from the snapshot
     (not frame 0) and produces a full trajectory."""

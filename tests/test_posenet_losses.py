@@ -1,5 +1,6 @@
 """Tests for the PoseResNet supervised + unsupervised losses."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +61,7 @@ def _scene_pair(rng, motion):
     return proj, vm_tgt, vm_ref, pose
 
 
+@pytest.mark.slow
 def test_point_to_plane_loss_minimized_at_true_motion(rng):
     motion = np.asarray([1.0, 0.3, 0.0, 0.0, 0.0, 0.05])
     proj, vm_tgt, vm_ref, pose = _scene_pair(rng, motion)
@@ -73,6 +75,7 @@ def test_point_to_plane_loss_minimized_at_true_motion(rng):
     assert l_true < l_wrong
 
 
+@pytest.mark.slow
 def test_point_to_plane_loss_differentiable(rng):
     motion = np.asarray([0.5, 0.0, 0.0, 0.0, 0.0, 0.02])
     proj, vm_tgt, vm_ref, pose = _scene_pair(rng, motion)

@@ -1,6 +1,7 @@
 """PoseResNet training stack: supervised/unsupervised steps, MultiStepLR,
 vertex-map pair dataset (ref ``PoseNetTrainer``, train.py:77-143)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def test_vm_pair_dataset_gt_contract():
     np.testing.assert_allclose(item["gt_pose"], expected.astype(np.float32), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_supervised_train_step_decreases_loss():
     cfg = PoseNetTrainConfig(
         model=PoseResNetConfig(),
@@ -72,6 +74,7 @@ def test_supervised_train_step_decreases_loss():
     assert int(state.step) == 26
 
 
+@pytest.mark.slow
 def test_unsupervised_point_to_plane_step_runs():
     cfg = PoseNetTrainConfig(loss="unsupervised", projector=PROJ, learning_rate=1e-4)
     model, state = create_posenet_train_state(cfg, jax.random.key(0), (H, W))
@@ -90,6 +93,7 @@ def test_unsupervised_point_to_plane_step_runs():
     assert delta > 0.0
 
 
+@pytest.mark.slow
 def test_eval_step_and_trainer_metrics():
     from pwclonet_pylidarslam_tpu.train.posenet_trainer import (
         PoseNetTrainer,

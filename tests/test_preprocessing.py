@@ -1,5 +1,6 @@
 """Preprocessing filter tests: de-skew, grid sampling, voxel statistics."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,7 @@ from pwclonet_pylidarslam_tpu.slam.preprocessing import (
 )
 
 
+@pytest.mark.slow
 def test_deskew_corrects_constant_motion(rng):
     """Points acquired during a constant-velocity sweep, each at its sweep
     fraction, must land on the static scene after de-skew."""
@@ -82,6 +84,7 @@ def test_voxel_statistics_means(rng):
     np.testing.assert_allclose(sorted(counts[occupied]), [100, 200])
 
 
+@pytest.mark.slow
 def test_preprocessing_compose(rng):
     pts = jnp.asarray(rng.uniform(-5, 5, size=(400, 3)).astype(np.float32))
     mask = jnp.ones(400, jnp.float32)

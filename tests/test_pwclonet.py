@@ -45,6 +45,7 @@ def batch(rng=None):
 
 
 class TestForward:
+    @pytest.mark.slow
     def test_output_shape_and_unit_quats(self, small_model_state, batch):
         cfg, model, state = small_model_state
         pred, aux = model.apply(
@@ -58,6 +59,7 @@ class TestForward:
         assert aux["embedding_mask"].shape == (2, SMALL.sa_npoints[0])
         assert np.all(np.isfinite(np.asarray(pred)))
 
+    @pytest.mark.slow
     def test_eval_deterministic(self, small_model_state, batch):
         cfg, model, state = small_model_state
         kwargs = dict(train=False)
@@ -107,6 +109,7 @@ class TestLoss:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_overfit_single_batch(self, small_model_state, batch):
         cfg, model, state = small_model_state
         step = jax.jit(lambda s, b, r: train_step(model, cfg, s, b, r))
@@ -119,6 +122,7 @@ class TestTraining:
         assert losses[-1] < losses[0] * 0.7
         assert int(state.step) == 12
 
+    @pytest.mark.slow
     def test_nonfinite_batch_skips_update(self, small_model_state, batch):
         cfg, model, state = small_model_state
         bad = dict(batch)

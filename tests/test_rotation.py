@@ -1,5 +1,6 @@
 """Round-trip and oracle tests for core.rotation."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation as ScipyRot
@@ -79,6 +80,7 @@ def test_so3_exp_matches_scipy(rng):
     np.testing.assert_allclose(ours, theirs, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_so3_log_near_zero_and_pi(rng):
     # near zero
     omega = rng.normal(size=(8, 3)) * 1e-9

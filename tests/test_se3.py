@@ -1,5 +1,6 @@
 """Tests for core.se3: exp/log, composition, interpolation, param layouts."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation as ScipyRot
@@ -50,6 +51,7 @@ def test_exp_small_angle_stability():
     np.testing.assert_allclose(back, np.asarray(tiny), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_relative_chain_roundtrip(rng):
     absolute = jnp.asarray(random_poses(rng, 20, t_scale=5.0))
     rel = se3.to_relative_chain(absolute)
@@ -82,6 +84,7 @@ def test_interpolate_endpoints(rng):
     )
 
 
+@pytest.mark.slow
 def test_interpolate_timestamps(rng):
     # constant-twist trajectory: slerp rotation is exact (shared axis);
     # translation is linear between knots by construction.

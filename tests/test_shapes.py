@@ -171,6 +171,7 @@ def _loss_trajectory(model, ds, n_steps=5, semseg=False):
     return losses
 
 
+@pytest.mark.slow
 def test_cls_trains_at_all():
     ds = shapes.SyntheticShapes(num_items=24, num_points=64)
     model = PointNet2Classification(num_classes=len(shapes.SHAPE_CLASSES), stages=TINY_CLS, head=(32,))
@@ -179,6 +180,7 @@ def test_cls_trains_at_all():
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_semseg_trains_at_all():
     ds = shapes.SyntheticRooms(num_items=16, num_points=128)
     model = PointNet2Segmentation(num_classes=4, stages=TINY_SEM, fp_width=32, head_width=16)

@@ -43,6 +43,7 @@ def trainer(tmp_path_factory):
     return PWCLONetTrainer(cfg)
 
 
+@pytest.mark.slow
 def test_fit_runs_and_logs(trainer):
     batches = make_batches()
     history = trainer.fit(lambda: iter(batches), lambda: iter(batches), num_epochs=2)
@@ -55,6 +56,7 @@ def test_fit_runs_and_logs(trainer):
     assert len(open(hist_file).readlines()) == 2
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(trainer):
     # mutate, save, corrupt, reload
     step_before = int(trainer.state.step)
@@ -71,6 +73,7 @@ def test_checkpoint_roundtrip(trainer):
 
 
 class TestPoseResNet:
+    @pytest.mark.slow
     def test_forward_shape_and_near_identity_init(self):
         model = PoseResNet(PoseResNetConfig())
         frames = jnp.asarray(
@@ -82,6 +85,7 @@ class TestPoseResNet:
         # small-init heads -> near-identity initial pose
         assert np.abs(np.asarray(params)).max() < 0.5
 
+    @pytest.mark.slow
     def test_gradient_flows(self):
         model = PoseResNet(PoseResNetConfig())
         frames = jnp.asarray(
@@ -100,6 +104,7 @@ class TestPoseResNet:
 
 
 class TestWandbWriter:
+    @pytest.mark.slow
     def test_wandb_logging_via_fake_module(self, tmp_path, monkeypatch):
         """The wandb path is import-gated; inject a fake module and check the
         trainer initializes a run, logs per-epoch scalars, and finishes."""
@@ -140,6 +145,7 @@ class TestWandbWriter:
         assert "train_loss" in calls["log"][0][1]
         assert calls["finish"] == 1
 
+    @pytest.mark.slow
     def test_wandb_absent_degrades(self, tmp_path):
         cfg = TrainerConfig(
             train=TrainConfig(model=SMALL, total_steps=20),

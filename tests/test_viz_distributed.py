@@ -42,6 +42,7 @@ def test_distributed_single_host_noop():
         distributed.local_batch_slice(17) if __import__("jax").process_count() > 1 else (_ for _ in ()).throw(ValueError("divisible"))
 
 
+@pytest.mark.slow
 def test_runner_incremental_persistence(tmp_path):
     from pwclonet_pylidarslam_tpu.data.synthetic import (
         SyntheticSequenceConfig,
