@@ -15,9 +15,31 @@ from __future__ import annotations
 
 import dataclasses
 import subprocess
+import typing
 from typing import Any, Dict, List, Optional, Type, TypeVar, get_args, get_origin
 
 T = TypeVar("T")
+
+
+def _resolve_hints(cls: type) -> Dict[str, Any]:
+    """Field name → actual type objects. ``dataclasses.fields(...).type`` is a
+    *string* under ``from __future__ import annotations``, so resolve through
+    ``typing.get_type_hints`` (falls back to raw annotations if a module uses
+    names that no longer import)."""
+    try:
+        return typing.get_type_hints(cls)
+    except Exception:
+        return {f.name: f.type for f in dataclasses.fields(cls)}
+
+
+def _unwrap_optional(tp: Any) -> Any:
+    """``Optional[X]`` → ``X`` (so an ``Optional[dataclass]`` field defaulting
+    to None can still be populated from YAML)."""
+    if get_origin(tp) is typing.Union:
+        args = [a for a in get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return tp
 
 
 def _convert_scalar(value: str) -> Any:
@@ -38,32 +60,33 @@ def from_dict(cls: Type[T], data: Dict[str, Any]) -> T:
     if not dataclasses.is_dataclass(cls):
         return data  # leaf passthrough
     fields = {f.name: f for f in dataclasses.fields(cls)}
+    hints = _resolve_hints(cls)
     kwargs = {}
     for key, value in data.items():
         if key not in fields:
             raise KeyError(
                 f"{cls.__name__} has no field {key!r}; valid: {sorted(fields)}"
             )
-        ftype = fields[key].type
-        ftype_cls = ftype if isinstance(ftype, type) else None
+        ftype = _unwrap_optional(hints.get(key, fields[key].type))
         if isinstance(value, dict):
-            # resolve the nested dataclass type from the field default
+            # prefer merging onto the field default (keeps sub-fields the
+            # YAML doesn't mention); fall back to the annotated type for
+            # Optional[dataclass] fields whose default is None
             default = fields[key].default
-            if dataclasses.is_dataclass(default):
-                base = dataclasses.asdict(default)
-                base.update(value)
-                kwargs[key] = from_dict(type(default), _merge_nested(default, value))
-            elif fields[key].default_factory is not dataclasses.MISSING:  # type: ignore
+            if default is dataclasses.MISSING and (
+                fields[key].default_factory is not dataclasses.MISSING  # type: ignore
+            ):
                 default = fields[key].default_factory()  # type: ignore
+            if dataclasses.is_dataclass(default) and not isinstance(default, type):
                 kwargs[key] = from_dict(type(default), _merge_nested(default, value))
-            elif ftype_cls and dataclasses.is_dataclass(ftype_cls):
-                kwargs[key] = from_dict(ftype_cls, value)
+            elif isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+                kwargs[key] = from_dict(ftype, value)
             else:
                 kwargs[key] = value
-        elif isinstance(value, list) and ftype_cls is tuple:
+        elif isinstance(value, list) and (ftype is tuple or get_origin(ftype) is tuple):
             kwargs[key] = tuple(value)
         else:
-            kwargs[key] = tuple(value) if isinstance(value, list) and "Tuple" in str(ftype) else value
+            kwargs[key] = value
     return cls(**kwargs)
 
 
@@ -116,6 +139,72 @@ def load_config(
             data = yaml.safe_load(f) or {}
     if overrides:
         data = apply_overrides(data, overrides)
+    return from_dict(cls, data)
+
+
+def _preset_dir() -> str:
+    """The shipped ``config/`` preset tree at the repo root (mirrors the
+    reference's Hydra config groups)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "config",
+    )
+
+
+def resolve_preset(name: str) -> str:
+    """``config=<x>`` resolution: an existing path wins; otherwise look up
+    ``config/<x>.yaml`` (and ``config/<x>`` verbatim) in the shipped tree."""
+    import os
+
+    if os.path.exists(name):
+        return name
+    for cand in (
+        os.path.join(_preset_dir(), name + ".yaml"),
+        os.path.join(_preset_dir(), name),
+    ):
+        if os.path.exists(cand):
+            return cand
+    available = []
+    if os.path.isdir(_preset_dir()):
+        for root, _dirs, files in os.walk(_preset_dir()):
+            rel = os.path.relpath(root, _preset_dir())
+            available += [
+                (f if rel == "." else f"{rel}/{f}").removesuffix(".yaml")
+                for f in files
+                if f.endswith(".yaml")
+            ]
+    raise FileNotFoundError(
+        f"no config preset {name!r}; available: {sorted(available)}"
+    )
+
+
+def _deep_merge(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursive dict merge; ``b`` wins on conflicts."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def parse_cli(cls: Type[T], argv: List[str]) -> T:
+    """Hydra-CLI-style parsing shared by the entry points: any number of
+    ``config=<preset-or-path>`` YAML bases (deep-merged left to right, later
+    wins) composed with ``a.b.c=value`` overrides (always win)."""
+    import yaml
+
+    data: Dict[str, Any] = {}
+    for arg in argv:
+        if arg.startswith("config="):
+            with open(resolve_preset(arg.split("=", 1)[1])) as f:
+                data = _deep_merge(data, yaml.safe_load(f) or {})
+    data = apply_overrides(
+        data, [a for a in argv if "=" in a and not a.startswith("config=")]
+    )
     return from_dict(cls, data)
 
 

@@ -155,15 +155,10 @@ def build_sources(config: RunConfig):
 def main(argv: Optional[List[str]] = None):
     from pwclonet_pylidarslam_tpu.slam.pipeline import SLAMConfig
     from pwclonet_pylidarslam_tpu.slam.runner import SLAMRunner, SLAMRunnerConfig
-    from pwclonet_pylidarslam_tpu.utils.config import (
-        apply_overrides,
-        dump_config,
-        from_dict,
-    )
+    from pwclonet_pylidarslam_tpu.utils.config import dump_config, parse_cli
 
     argv = argv if argv is not None else sys.argv[1:]
-    data = apply_overrides({}, [a for a in argv if "=" in a])
-    config = from_dict(RunConfig, data)
+    config = parse_cli(RunConfig, argv)
 
     slam_cfg = SLAMConfig(
         with_loop_closure=config.with_loop_closure,

@@ -456,10 +456,10 @@ def run_test(config: Config) -> int:
 
 
 def main(argv: Optional[List[str]] = None):
-    from pwclonet_pylidarslam_tpu.utils.config import apply_overrides, from_dict
+    from pwclonet_pylidarslam_tpu.utils.config import parse_cli
 
     argv = argv if argv is not None else sys.argv[1:]
-    config = from_dict(Config, apply_overrides({}, [a for a in argv if "=" in a]))
+    config = parse_cli(Config, argv)
     import os
 
     os.makedirs(config.log_dir, exist_ok=True)
