@@ -109,6 +109,103 @@ def concat_pair_datasets(
 
 
 @dataclasses.dataclass
+class VertexMapWindowDataset:
+    """Sliding windows of ``sequence_len`` consecutive frames — the
+    len>2 generalization of :class:`VertexMapPairDataset`, mirroring the
+    reference's ``DatasetOfSequences`` (``sequence_dataset.py:9-169``:
+    window count ``T − S·stride + 1``, per-window frame indices
+    ``start + k·stride``).
+
+    Item contract (newest-first, consistent with the pair dataset's
+    ``vm1=current / vm2=previous`` and ``PoseNetOdometry``'s input layout):
+
+    - ``frames (S, H, W, 3)``: ``frames[k] = vm[start + (S-1-k)·stride]``;
+    - ``gt_poses (S-1, 4, 4)``: ``gt_poses[k]`` maps ``frames[k]``
+      coordinates into ``frames[k+1]`` coordinates (each a current→previous
+      relative, like the pair dataset's ``gt_pose``).
+
+    The reference's random crop/pad to ``num_points`` happens upstream at
+    projection time (``project_scans``) — vertex maps are already fixed-shape.
+    """
+
+    vertex_maps: np.ndarray  # (T, H, W, 3)
+    gt_absolute: Optional[np.ndarray] = None  # (T, 4, 4)
+    sequence_len: int = 3
+    stride: int = 1
+
+    @classmethod
+    def from_scans(
+        cls,
+        scans: Sequence[np.ndarray],
+        gt_absolute: Optional[np.ndarray],
+        projector: SphericalProjector = SphericalProjector(),
+        num_points: int = 65536,
+        sequence_len: int = 3,
+        stride: int = 1,
+    ) -> "VertexMapWindowDataset":
+        vms = project_scans(scans, projector, num_points)
+        gt = None if gt_absolute is None else np.asarray(gt_absolute, np.float64)
+        return cls(vms, gt, sequence_len, stride)
+
+    def __len__(self) -> int:
+        # ref sequence_dataset.py:50 window count
+        return max(len(self.vertex_maps) - self.sequence_len * self.stride + 1, 0)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        s = self.sequence_len
+        idx = [i + k * self.stride for k in range(s)]  # oldest → newest
+        frames = np.stack([self.vertex_maps[j] for j in reversed(idx)])
+        item = {"frames": frames}
+        if self.gt_absolute is not None:
+            rels = []
+            for k in range(s - 1):
+                newer, older = idx[s - 1 - k], idx[s - 2 - k]
+                rels.append(
+                    np.linalg.inv(self.gt_absolute[older]) @ self.gt_absolute[newer]
+                )
+            item["gt_poses"] = np.stack(rels).astype(np.float32)
+        return item
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(j)] for j in order[start : start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+@dataclasses.dataclass
+class MultiSequenceWindowDataset:
+    """Windows pooled across sequences (never windowing across a boundary —
+    ``sequence_dataset.py:46-53`` concatenation semantics)."""
+
+    datasets: List[VertexMapWindowDataset]
+
+    def __len__(self) -> int:
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        for d in self.datasets:
+            if i < len(d):
+                return d[i]
+            i -= len(d)
+        raise IndexError(i)
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(j)] for j in order[start : start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+@dataclasses.dataclass
 class MultiSequencePairDataset:
     """Pairs pooled across sequences (never pairing across a boundary —
     the window dataset's concatenation semantics, ``sequence_dataset.py:46-53``)."""

@@ -77,14 +77,32 @@ def make_optimizer(config: PoseNetTrainConfig):
 
 
 def _stack_frames(batch: Dict[str, jax.Array]) -> jax.Array:
-    # current first, previous second — mirrors PoseNetOdometry's input layout
+    """Frame stack ``(B, S, H, W, 3)`` — pair batches (``vm1``/``vm2``,
+    current first, mirroring PoseNetOdometry's input layout) or window
+    batches (``frames`` already stacked newest-first by
+    ``data.vm_pairs.VertexMapWindowDataset``)."""
+    if "frames" in batch:
+        return batch["frames"]
     return jnp.stack([batch["vm1"], batch["vm2"]], axis=1)  # (B, 2, H, W, 3)
+
+
+def _gt_poses(batch: Dict[str, jax.Array]) -> jax.Array:
+    """GT relative poses ``(B, P, 4, 4)``, one per consecutive frame pair."""
+    if "gt_poses" in batch:
+        return batch["gt_poses"]
+    return batch["gt_pose"][:, None]
 
 
 def create_posenet_train_state(
     config: PoseNetTrainConfig, rng: jax.Array, vm_shape: Tuple[int, int] = (64, 720)
 ) -> Tuple[PoseResNet, PoseNetTrainState]:
     model = PoseResNet(config.model)
+    if config.model.num_out_poses != config.model.sequence_len - 1:
+        raise ValueError(
+            "windowed training regresses one pose per consecutive frame pair: "
+            f"num_out_poses must be sequence_len-1, got "
+            f"{config.model.num_out_poses} vs sequence_len={config.model.sequence_len}"
+        )
     h, w = vm_shape
     dummy = jnp.zeros((1, config.model.sequence_len, h, w, 3), jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)
@@ -110,17 +128,33 @@ def _loss_and_log(
     pred_params: jax.Array,
     batch: Dict[str, jax.Array],
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """``pred_params (B, P, 6)``: one (t, euler) per consecutive frame pair
+    of the window (P = sequence_len − 1; P = 1 for pair batches)."""
+    b, p = pred_params.shape[:2]
     if config.loss == "supervised":
+        # fold the pose axis into the batch: the loss is a batch mean, so
+        # this averages over the window's P relative poses
+        gt = _gt_poses(batch)
         return pose_supervision_loss(
-            loss_params, pred_params, batch["gt_pose"], config.supervised
+            loss_params,
+            pred_params.reshape(b * p, 6),
+            gt.reshape(b * p, 4, 4),
+            config.supervised,
         )
-    loss = point_to_plane_loss(
-        config.projector,
-        batch["vm1"],
-        batch["vm2"],
-        pred_params,
-        config=config.unsupervised,
-    )
+    frames = _stack_frames(batch)
+    # unsupervised: re-projection point-to-plane per consecutive pair
+    # (frames[k] = target/current, frames[k+1] = reference/previous)
+    losses = [
+        point_to_plane_loss(
+            config.projector,
+            frames[:, k],
+            frames[:, k + 1],
+            pred_params[:, k],
+            config=config.unsupervised,
+        )
+        for k in range(p)
+    ]
+    loss = jnp.mean(jnp.stack(losses))
     return loss, {"loss": loss}
 
 
@@ -143,7 +177,7 @@ def posenet_train_step(
             train=True,
             mutable=["batch_stats"],
         )
-        loss, log = _loss_and_log(config, trainable["loss"], pred[:, 0, :], batch)
+        loss, log = _loss_and_log(config, trainable["loss"], pred, batch)
         return loss, (mutated["batch_stats"], log)
 
     trainable = {"net": state.params, "loss": state.loss_params}
@@ -181,12 +215,12 @@ def posenet_eval_step(
     state: PoseNetTrainState,
     batch: Dict[str, jax.Array],
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Forward + loss with running BN stats (ref ``evaluate_epoch``)."""
+    """Forward + loss with running BN stats (ref ``evaluate_epoch``).
+    Returns ``(B, P, 6)`` predictions (P = 1 for pair batches)."""
     pred = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         _stack_frames(batch),
         train=False,
     )
-    pred_params = pred[:, 0, :]
-    _, log = _loss_and_log(config, state.loss_params, pred_params, batch)
-    return pred_params, log
+    _, log = _loss_and_log(config, state.loss_params, pred, batch)
+    return pred, log

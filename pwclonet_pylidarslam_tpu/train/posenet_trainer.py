@@ -53,11 +53,14 @@ class PoseNetTrainer(BaseTrainer):
         )
 
     def _relative_poses(self, pred, batch):
-        if "gt_pose" not in batch:  # unsupervised eval has no GT
-            return None
+        if "gt_pose" not in batch and "gt_poses" not in batch:
+            return None  # unsupervised eval has no GT
+        # pred (B, P, 6): one relative pose per consecutive window pair
+        b, p = pred.shape[:2]
+        gt = batch["gt_poses"] if "gt_poses" in batch else batch["gt_pose"][:, None]
         return (
-            np.asarray(se3.params_to_pose_euler(pred)),
-            np.asarray(batch["gt_pose"]),
+            np.asarray(se3.params_to_pose_euler(pred.reshape(b * p, 6))),
+            np.asarray(gt).reshape(b * p, 4, 4),
         )
 
     def odometry_variables(self):

@@ -86,6 +86,40 @@ class TestPoseResNet:
         assert np.abs(np.asarray(params)).max() < 0.5
 
     @pytest.mark.slow
+    def test_resnet50_bottleneck_forward(self):
+        # ref _resnet.py:125-137: model 50 = Bottleneck [3,4,6,3], expansion 4
+        model = PoseResNet(PoseResNetConfig(resnet_model=50))
+        frames = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 2, 32, 64, 3)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), frames, train=False)
+        params = model.apply(variables, frames, train=False)
+        assert params.shape == (1, 1, 6)
+        assert np.abs(np.asarray(params)).max() < 0.5
+        # the encoder's last stage must carry the 4x bottleneck expansion
+        stage_keys = [k for k in variables["params"]["ResNetEncoder_0"] if "Bottleneck" in k]
+        assert stage_keys, "resnet_model=50 must build Bottleneck blocks"
+
+    def test_unknown_resnet_model_raises(self):
+        model = PoseResNet(PoseResNetConfig(resnet_model=99))
+        frames = jnp.zeros((1, 2, 16, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="resnet_model"):
+            model.init(jax.random.key(0), frames, train=False)
+
+    @pytest.mark.slow
+    def test_custom_activation_changes_output(self):
+        # ref CustomBasicBlock swaps ReLU for a configured activation
+        frames = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, 2, 32, 64, 3)).astype(np.float32)
+        )
+        m_relu = PoseResNet(PoseResNetConfig())
+        m_gelu = PoseResNet(PoseResNetConfig(activation="gelu"))
+        v = m_relu.init(jax.random.key(0), frames, train=False)
+        out_relu = m_relu.apply(v, frames, train=False)
+        out_gelu = m_gelu.apply(v, frames, train=False)  # same params, new act
+        assert not np.allclose(np.asarray(out_relu), np.asarray(out_gelu))
+
+    @pytest.mark.slow
     def test_gradient_flows(self):
         model = PoseResNet(PoseResNetConfig())
         frames = jnp.asarray(

@@ -52,6 +52,10 @@ class Config:
     fused_eval: bool = False  # test mode: fused Pallas eval kernels (TPU)
     # PoseNet-specific knobs (ref PoseNetTrainer, train.py:77-143)
     posenet_loss: str = "supervised"  # supervised | unsupervised
+    # PoseNet window length (ref DatasetOfSequences sequence_len,
+    # sequence_dataset.py:9-169): 2 = frame pairs; >2 = sliding windows with
+    # one regressed pose per consecutive pair
+    sequence_len: int = 2
     vm_height: int = 64
     vm_width: int = 720
 
@@ -116,11 +120,25 @@ def make_batch_fns(config: Config, model_cfg):
 
 
 def make_posenet_batch_fns(config: Config, projector):
-    """Vertex-map pair batches (consecutive frames + relative GT)."""
+    """Vertex-map pair batches (sequence_len=2) or sliding-window batches
+    (sequence_len>2, ref DatasetOfSequences sequence_dataset.py:9-169)."""
     from pwclonet_pylidarslam_tpu.data.vm_pairs import (
+        MultiSequenceWindowDataset,
         VertexMapPairDataset,
+        VertexMapWindowDataset,
         concat_pair_datasets,
     )
+
+    windowed = config.sequence_len > 2
+
+    def make_ds(scans, gt, num_points=65536):
+        if windowed:
+            return VertexMapWindowDataset.from_scans(
+                scans, gt, projector, num_points=num_points,
+                sequence_len=config.sequence_len,
+            )
+        return VertexMapPairDataset.from_scans(scans, gt, projector,
+                                               num_points=num_points)
 
     def from_sequences(seq_ids, seed):
         datasets = []
@@ -134,17 +152,16 @@ def make_posenet_batch_fns(config: Config, projector):
                 SyntheticSequenceConfig(n_frames=16 + 2 * config.synthetic_batches,
                                         seed=seed)
             )
-            datasets.append(VertexMapPairDataset.from_scans(scans, gt, projector,
-                                                            num_points=scans.shape[1]))
+            datasets.append(make_ds(scans, gt, num_points=scans.shape[1]))
         else:
             from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
 
             for s in seq_ids:
                 seq = KittiSequence(config.root_dir, s)
                 scans = [seq.scan(i) for i in range(len(seq))]
-                datasets.append(
-                    VertexMapPairDataset.from_scans(scans, seq.ground_truth(), projector)
-                )
+                datasets.append(make_ds(scans, seq.ground_truth()))
+        if windowed:
+            return MultiSequenceWindowDataset(datasets)
         return concat_pair_datasets(datasets)
 
     train_ds = from_sequences(_seqs(config.train_sequences), config.seed)
@@ -167,10 +184,16 @@ def run_train_posenet(config: Config) -> int:
     )
     from pwclonet_pylidarslam_tpu.utils.config import dump_config
 
+    from pwclonet_pylidarslam_tpu.models.posenet import PoseResNetConfig
+
     projector = SphericalProjector(height=config.vm_height, width=config.vm_width)
     trainer = PoseNetTrainer(
         PoseNetTrainerConfig(
             train=PoseNetTrainConfig(
+                model=PoseResNetConfig(
+                    sequence_len=config.sequence_len,
+                    num_out_poses=config.sequence_len - 1,
+                ),
                 loss=config.posenet_loss,
                 projector=projector,
                 learning_rate=config.learning_rate,
