@@ -80,6 +80,7 @@ class Connection:
     conn_id: int
     topic: str
     msg_type: str
+    message_definition: str = ""  # embedded .msg text (for generic decoding)
 
 
 class BagReader:
@@ -121,6 +122,7 @@ class BagReader:
                 conn_id,
                 header.get(b"topic", conn_hdr.get(b"topic", b"")).decode(),
                 conn_hdr.get(b"type", b"").decode(),
+                conn_hdr.get(b"message_definition", b"").decode(errors="replace"),
             )
         elif op == 0x02:  # message data
             conn_id = struct.unpack("<I", header[b"conn"])[0]
@@ -147,6 +149,115 @@ class BagReader:
         for _ in self.read_messages():
             pass
         return {c.topic: c.msg_type for c in self.connections.values()}
+
+
+# ---------------------------------------------------------------------------
+# Generic ROS1 message decoding from the embedded .msg definition
+# ---------------------------------------------------------------------------
+
+# struct format + size per ROS primitive
+_PRIMITIVES = {
+    "bool": ("<B", 1), "byte": ("<b", 1), "char": ("<B", 1),
+    "int8": ("<b", 1), "uint8": ("<B", 1),
+    "int16": ("<h", 2), "uint16": ("<H", 2),
+    "int32": ("<i", 4), "uint32": ("<I", 4),
+    "int64": ("<q", 8), "uint64": ("<Q", 8),
+    "float32": ("<f", 4), "float64": ("<d", 8),
+}
+
+_HEADER_FIELDS = [("uint32", "seq", None), ("time", "stamp", None),
+                  ("string", "frame_id", None)]
+
+
+def parse_message_definition(defn: str) -> Dict[str, list]:
+    """Parse the ``message_definition`` text a bag stores per connection into
+    ``{type_name: [(field_type, field_name, array_len), ...]}``.
+
+    The top-level message is keyed ``""``; embedded sub-message definitions
+    (after ``===`` separator lines, each starting ``MSG: pkg/Type``) are keyed
+    by their full type name. ``array_len`` is None for scalars, -1 for
+    variable-length arrays, else the fixed length. Constants are skipped.
+    """
+    import re
+
+    sections = re.split(r"^=+\s*$", defn, flags=re.M)
+    out: Dict[str, list] = {}
+    for i, sec in enumerate(sections):
+        lines = [ln.split("#", 1)[0].strip() for ln in sec.strip().splitlines()]
+        lines = [ln for ln in lines if ln]
+        name = ""
+        if i > 0:
+            if not lines or not lines[0].startswith("MSG:"):
+                continue
+            name = lines[0].split("MSG:", 1)[1].strip()
+            lines = lines[1:]
+        fields = []
+        for ln in lines:
+            if "=" in ln:  # constant declaration, e.g. "uint8 FOO=1"
+                continue
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            ftype, fname = parts[0], parts[1]
+            alen = None
+            m = re.match(r"(.+)\[(\d*)\]$", ftype)
+            if m:
+                ftype = m.group(1)
+                alen = int(m.group(2)) if m.group(2) else -1
+            fields.append((ftype, fname, alen))
+        out[name] = fields
+    return out
+
+
+def decode_message(raw: bytes, definition: str) -> Dict:
+    """Decode a serialized ROS1 message body into nested plain dicts using its
+    embedded ``.msg`` definition (replaces ``rosbag``'s genpy deserializer for
+    plain-field messages like novatel INSPVAX)."""
+    defn_map = parse_message_definition(definition)
+
+    def resolve(t: str) -> list:
+        if t in ("Header", "std_msgs/Header"):
+            return defn_map.get("std_msgs/Header", _HEADER_FIELDS)
+        if t in defn_map:
+            return defn_map[t]
+        for k in defn_map:  # unqualified references to embedded types
+            if k.endswith("/" + t):
+                return defn_map[k]
+        raise KeyError(f"message definition lacks embedded type {t!r}")
+
+    def read_value(t: str, off: int):
+        if t in _PRIMITIVES:
+            fmt, size = _PRIMITIVES[t]
+            v = struct.unpack_from(fmt, raw, off)[0]
+            return (bool(v) if t == "bool" else v), off + size
+        if t in ("time", "duration"):
+            fmt = "<II" if t == "time" else "<ii"
+            s, ns = struct.unpack_from(fmt, raw, off)
+            return s + ns * 1e-9, off + 8
+        if t == "string":
+            (n,) = struct.unpack_from("<I", raw, off)
+            return raw[off + 4 : off + 4 + n].decode(errors="replace"), off + 4 + n
+        return read_struct(resolve(t), off)
+
+    def read_struct(fields: list, off: int):
+        d = {}
+        for ftype, fname, alen in fields:
+            if alen is None:
+                d[fname], off = read_value(ftype, off)
+            else:
+                n = alen
+                if n == -1:
+                    (n,) = struct.unpack_from("<I", raw, off)
+                    off += 4
+                vals = []
+                for _ in range(n):
+                    v, off = read_value(ftype, off)
+                    vals.append(v)
+                d[fname] = vals
+        return d, off
+
+    out, _ = read_struct(defn_map.get("", []), 0)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -272,10 +383,15 @@ def _record(header_fields: Dict[bytes, bytes], data: bytes) -> bytes:
 
 
 def write_bag(
-    path: str, messages: List[Tuple[str, str, bytes, float]], compression: str = "none"
+    path: str,
+    messages: List[Tuple[str, str, bytes, float]],
+    compression: str = "none",
+    definitions: Optional[Dict[str, str]] = None,
 ) -> None:
     """Write ``(topic, msg_type, raw, t_sec)`` messages into a rosbag 2.0
-    file (one chunk; compression "none" or "bz2")."""
+    file (one chunk; compression "none" or "bz2"). ``definitions`` optionally
+    maps topics to their ``.msg`` definition text (needed for generic decode
+    of non-PointCloud2 topics)."""
     topics = {}
     for topic, msg_type, _raw, _t in messages:
         topics.setdefault(topic, msg_type)
@@ -283,13 +399,14 @@ def write_bag(
 
     chunk = bytearray()
     for topic, conn_id in conn_ids.items():
+        defn = (definitions or {}).get(topic, "")
         data = b"".join(
             struct.pack("<I", len(k) + 1 + len(v)) + k + b"=" + v
             for k, v in {
                 b"topic": topic.encode(),
                 b"type": topics[topic].encode(),
                 b"md5sum": b"0" * 32,
-                b"message_definition": b"",
+                b"message_definition": defn.encode(),
             }.items()
         )
         chunk += _record(
@@ -369,6 +486,7 @@ class RosbagSequence:
         self._msgs = None  # lazy message iterator
         self._frames: List[np.ndarray] = []
         self._times: List[Optional[np.ndarray]] = []
+        self._bag_times: List[float] = []  # bag record time per frame (s)
         self._count: Optional[int] = None
 
     def __len__(self) -> int:
@@ -381,15 +499,17 @@ class RosbagSequence:
         if self._msgs is None:
             self._msgs = self.reader.read_messages([self.main_topic])
         pcs, times = [], []
+        bag_t = 0.0
         for _ in range(self.frame_size):
             try:
-                _topic, _mtype, raw, _t = next(self._msgs)
+                _topic, _mtype, raw, bag_t = next(self._msgs)
             except StopIteration:
                 return False
             pc, ts = decode_pointcloud2(raw)
             pcs.append(pc)
             times.append(ts)
         pc = np.concatenate(pcs, axis=0)
+        self._bag_times.append(bag_t)
         ts = (
             np.concatenate([t for t in times if t is not None])
             if any(t is not None for t in times)
@@ -429,6 +549,43 @@ class RosbagSequence:
         return None  # bags carry no poses (ref rosbag_dataset.py:213-215)
 
 
+def lla_to_ecef(lon_deg: float, lat_deg: float, alt: float) -> np.ndarray:
+    """WGS84 geodetic → ECEF (standard ellipsoid formulas; the reference's
+    ``llu_to_ecef``, urban_loco_dataset.py:123-139)."""
+    a, b = 6378137.0, 6356752.314
+    lon, lat = np.deg2rad(lon_deg), np.deg2rad(lat_deg)
+    n = a * a / np.sqrt(a * a * np.cos(lat) ** 2 + b * b * np.sin(lat) ** 2)
+    return np.array(
+        [
+            (n + alt) * np.cos(lat) * np.cos(lon),
+            (n + alt) * np.cos(lat) * np.sin(lon),
+            (b * b / (a * a) * n + alt) * np.sin(lat),
+        ]
+    )
+
+
+def ecef_to_enu(origin_lla: np.ndarray, ecef: np.ndarray) -> np.ndarray:
+    """ECEF → local East/North/Up at ``origin_lla = (lon, lat, alt)`` degrees
+    (ref ``ecef_to_enu``, urban_loco_dataset.py:141-173)."""
+    d = ecef - lla_to_ecef(*origin_lla)
+    lon, lat = np.deg2rad(origin_lla[0]), np.deg2rad(origin_lla[1])
+    sl, cl = np.sin(lon), np.cos(lon)
+    sp, cp = np.sin(lat), np.cos(lat)
+    return np.array(
+        [
+            -sl * d[0] + cl * d[1],
+            -sp * cl * d[0] - sp * sl * d[1] + cp * d[2],
+            cp * cl * d[0] + cp * sl * d[1] + sp * d[2],
+        ]
+    )
+
+
+# ENU → NWU (North/West/Up) axis permutation (ref urban_loco_dataset.py:510-515)
+_ENU_TO_NWU = np.array(
+    [[0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+)
+
+
 class UrbanLocoSequence(RosbagSequence):
     """UrbanLoco bags (ref ``urban_loco_dataset.py:175-368``).
 
@@ -439,15 +596,18 @@ class UrbanLocoSequence(RosbagSequence):
       ``estimate_timestamps``, :221-228); HONG_KONG falls back to the
       azimuth estimate (the reference's ring-id reconstruction feeds the
       same de-skew purpose);
-    - GPS/INS ground truth (novatel INSPVAX) requires the vendor message
-      definition and is not decoded; ``ground_truth()`` returns None like
-      the plain rosbag loader.
+    - ``ground_truth()`` decodes the novatel INSPVAX GPS/INS stream
+      (``/novatel_data/inspvax``) through the generic message decoder:
+      geodetic fix → ENU (first fix as origin) → NWU, azimuth/pitch/roll →
+      rotation, interpolated at each scan's bag time and rebased to the
+      first scan (ref ``generate_ground_truth``, urban_loco_dataset.py:430-530).
     """
 
     HONG_KONG = "hong_kong"
     CALIFORNIA = "california"
 
     TOPICS = {HONG_KONG: "/velodyne_points", CALIFORNIA: "/rslidar_points"}
+    GT_TOPIC = "/novatel_data/inspvax"  # ref ground_truth_topic, :211-213
 
     def __init__(
         self,
@@ -458,6 +618,7 @@ class UrbanLocoSequence(RosbagSequence):
         if acquisition not in self.TOPICS:
             raise ValueError(f"unknown acquisition {acquisition!r}")
         self.acquisition = acquisition
+        self._gt: Optional[np.ndarray] = None
         super().__init__(
             file_path, self.TOPICS[acquisition], frame_size=1, num_points=num_points
         )
@@ -479,3 +640,80 @@ class UrbanLocoSequence(RosbagSequence):
             )
             pc, ts = pc[sel], ts[sel]
         return pc, ts
+
+    def _inspvax_poses(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All INSPVAX fixes → ``(timestamps (N,), NWU poses (N, 4, 4))``
+        rebased so the first fix is identity (ref :472-520)."""
+        from scipy.spatial.transform import Rotation
+
+        stamps, poses = [], []
+        init_lla = None
+        init_enu = None
+        for _topic, _mtype, raw, t in self.reader.read_messages([self.GT_TOPIC]):
+            conn = next(
+                c for c in self.reader.connections.values() if c.topic == self.GT_TOPIC
+            )
+            msg = decode_message(raw, conn.message_definition)
+            lla = np.array([msg["longitude"], msg["latitude"], msg["altitude"]])
+            yaw = np.deg2rad(msg["azimuth"])
+            pitch = np.deg2rad(msg["pitch"])
+            roll = np.deg2rad(msg["roll"])
+            # azimuth is clockwise-from-north; ENU heading is −azimuth (ref :485)
+            r_enu = Rotation.from_euler("zyx", [-yaw, pitch, roll]).as_matrix()
+            if init_lla is None:
+                init_lla = lla
+            enu = ecef_to_enu(init_lla, lla_to_ecef(*lla))
+            if init_enu is None:
+                init_enu = enu
+            pose = np.eye(4)
+            pose[:3, :3] = r_enu
+            pose[:3, 3] = enu - init_enu
+            # conjugate into NWU (ref :510-516)
+            pose = _ENU_TO_NWU @ pose @ np.linalg.inv(_ENU_TO_NWU)
+            stamps.append(t)
+            poses.append(pose)
+        if not poses:
+            return np.zeros((0,)), np.zeros((0, 4, 4))
+        poses = np.stack(poses)
+        poses = np.linalg.inv(poses[0])[None] @ poses  # rebase to first fix
+        return np.asarray(stamps), poses
+
+    def ground_truth(self) -> Optional[np.ndarray]:
+        """Absolute GT pose per scan frame ``(T, 4, 4)`` (first frame =
+        identity), or None when the bag has no INSPVAX stream."""
+        if self._gt is not None:
+            return self._gt
+        stamps, poses = self._inspvax_poses()
+        if len(poses) < 2:
+            return None
+        n = len(self)
+        while len(self._bag_times) < n:  # decode all frames for their times
+            if not self._decode_next():
+                break
+        scan_times = np.asarray(self._bag_times)
+        interp = _interpolate_poses(stamps, poses, scan_times)
+        interp = np.linalg.inv(interp[0])[None] @ interp  # rebase to 1st scan
+        self._gt = interp
+        return self._gt
+
+
+def _interpolate_poses(
+    stamps: np.ndarray, poses: np.ndarray, query: np.ndarray
+) -> np.ndarray:
+    """Slerp rotations + lerp translations of ``poses`` at ``query`` times,
+    clamped to the covered interval (the reference's ``PosesInterpolator``,
+    slam/common/pose.py:23-52)."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    order = np.argsort(stamps)
+    stamps, poses = stamps[order], poses[order]
+    # drop duplicate timestamps (Slerp requires strictly increasing keys)
+    keep = np.concatenate([[True], np.diff(stamps) > 0])
+    stamps, poses = stamps[keep], poses[keep]
+    q = np.clip(query, stamps[0], stamps[-1])
+    slerp = Slerp(stamps, Rotation.from_matrix(poses[:, :3, :3]))
+    out = np.tile(np.eye(4), (len(q), 1, 1))
+    out[:, :3, :3] = slerp(q).as_matrix()
+    for axis in range(3):
+        out[:, axis, 3] = np.interp(q, stamps, poses[:, axis, 3])
+    return out

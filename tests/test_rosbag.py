@@ -93,6 +93,147 @@ class TestRosbagSequence:
         assert seq.scan(0).shape == (128, 3)
 
 
+# novatel_msgs/INSPVAX layout as embedded in UrbanLoco bags (the fields the
+# reference reads: latitude/longitude/altitude + roll/pitch/azimuth,
+# urban_loco_dataset.py:310-320)
+INSPVAX_DEF = """\
+Header header
+uint32 ins_status
+uint32 position_type
+float64 latitude
+float64 longitude
+float64 altitude
+float32 undulation
+float64 north_velocity
+float64 east_velocity
+float64 up_velocity
+float64 roll
+float64 pitch
+float64 azimuth
+
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+
+def _encode_inspvax(lat, lon, alt, roll, pitch, azimuth):
+    import struct
+
+    out = bytearray()
+    out += struct.pack("<I", 0)  # header.seq
+    out += struct.pack("<II", 0, 0)  # header.stamp
+    out += struct.pack("<I", 3) + b"gps"  # header.frame_id
+    out += struct.pack("<II", 3, 56)  # ins_status, position_type
+    out += struct.pack("<ddd", lat, lon, alt)
+    out += struct.pack("<f", 0.0)  # undulation
+    out += struct.pack("<ddd", 0.0, 0.0, 0.0)  # velocities
+    out += struct.pack("<ddd", roll, pitch, azimuth)
+    return bytes(out)
+
+
+def _make_urbanloco_bag(path, n_frames=6):
+    """Bag with a northbound trajectory: INSPVAX fixes at 10 Hz + scans at
+    5 Hz, vehicle heading north (azimuth 0) at 5 m per scan."""
+    rng = np.random.default_rng(1)
+    lat0, lon0, alt0 = 22.3, 114.17, 10.0  # Hong Kong-ish
+    messages = []
+    meters_per_deg_lat = 111132.9
+    for k in range(2 * n_frames + 2):
+        t = 100.0 + k * 0.1
+        lat = lat0 + (2.5 * k) / meters_per_deg_lat  # 2.5 m per fix northward
+        messages.append(
+            (
+                UrbanLocoSequence.GT_TOPIC,
+                "novatel_msgs/INSPVAX",
+                _encode_inspvax(lat, lon0, alt0, 0.0, 0.0, 0.0),
+                t,
+            )
+        )
+    from pwclonet_pylidarslam_tpu.data.rosbag import encode_pointcloud2
+
+    for f in range(n_frames):
+        pts = rng.uniform(-20, 20, (200, 3)).astype(np.float32)
+        messages.append(
+            (
+                "/velodyne_points",
+                "sensor_msgs/PointCloud2",
+                encode_pointcloud2(pts),
+                100.0 + f * 0.2,
+            )
+        )
+    messages.sort(key=lambda m: m[3])
+    write_bag(
+        str(path), messages, definitions={UrbanLocoSequence.GT_TOPIC: INSPVAX_DEF}
+    )
+
+
+class TestGenericMessageDecode:
+    def test_inspvax_roundtrip(self):
+        from pwclonet_pylidarslam_tpu.data.rosbag import decode_message
+
+        raw = _encode_inspvax(22.31, 114.18, 55.0, 1.5, -0.5, 90.0)
+        msg = decode_message(raw, INSPVAX_DEF)
+        assert msg["header"]["frame_id"] == "gps"
+        assert msg["ins_status"] == 3
+        np.testing.assert_allclose(
+            [msg["latitude"], msg["longitude"], msg["altitude"]],
+            [22.31, 114.18, 55.0],
+        )
+        np.testing.assert_allclose(
+            [msg["roll"], msg["pitch"], msg["azimuth"]], [1.5, -0.5, 90.0]
+        )
+
+    def test_arrays_constants_and_nested(self):
+        from pwclonet_pylidarslam_tpu.data.rosbag import decode_message
+        import struct
+
+        defn = """\
+uint8 KIND=3  # constant must be skipped
+int16[3] fixed
+float32[] var
+Sub nested
+
+================================================================================
+MSG: pkg/Sub
+uint32 value
+string name
+"""
+        raw = struct.pack("<hhh", 1, -2, 3)
+        raw += struct.pack("<I", 2) + struct.pack("<ff", 0.5, 1.5)
+        raw += struct.pack("<I", 7) + struct.pack("<I", 2) + b"ab"
+        msg = decode_message(raw, defn)
+        assert msg["fixed"] == [1, -2, 3]
+        np.testing.assert_allclose(msg["var"], [0.5, 1.5])
+        assert msg["nested"] == {"value": 7, "name": "ab"}
+        assert "KIND" not in msg
+
+
+class TestUrbanLocoGroundTruth:
+    def test_gt_decodes_northbound_trajectory(self, tmp_path):
+        """VERDICT r1 item 8: INSPVAX GT decode. Northbound constant-velocity
+        trajectory → NWU forward (+x) motion, ~5 m between 5 Hz scans."""
+        _make_urbanloco_bag(tmp_path / "hk.bag", n_frames=6)
+        seq = UrbanLocoSequence(str(tmp_path / "hk.bag"), UrbanLocoSequence.HONG_KONG)
+        gt = seq.ground_truth()
+        assert gt is not None and gt.shape == (6, 4, 4)
+        np.testing.assert_allclose(gt[0], np.eye(4), atol=1e-9)
+        # heading north with azimuth 0 → identity rotations in NWU
+        np.testing.assert_allclose(gt[:, :3, :3], np.tile(np.eye(3), (6, 1, 1)), atol=1e-6)
+        # +x (north) grows by ~5 m per frame; y/z stay ~0
+        dx = np.diff(gt[:, 0, 3])
+        np.testing.assert_allclose(dx, 5.0, rtol=0.02)
+        np.testing.assert_allclose(gt[:, 1, 3], 0.0, atol=0.05)
+        np.testing.assert_allclose(gt[:, 2, 3], 0.0, atol=0.05)
+
+    def test_gt_none_without_inspvax(self, tmp_path):
+        _make_bag(tmp_path / "plain.bag")
+        seq = UrbanLocoSequence(str(tmp_path / "plain.bag"), UrbanLocoSequence.HONG_KONG)
+        assert seq.ground_truth() is None
+
+
 class TestUrbanLoco:
     def test_hong_kong_azimuth_times(self, tmp_path):
         _make_bag(tmp_path / "hk.bag", topic="/velodyne_points", with_time=False)
