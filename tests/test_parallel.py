@@ -70,7 +70,7 @@ def test_data_parallel_step_matches_single_device():
 
 
 def _circle_graph(n=40, max_edges=64, dtype=jnp.float64):
-    from tests.test_backend import circle_poses, drifted_odometry
+    from pgo_fixtures import circle_poses, drifted_odometry
 
     rng = np.random.default_rng(3)
     gt = circle_poses(n)
@@ -106,7 +106,7 @@ def test_sharded_pgo_matches_single_device():
 
 @pytest.mark.slow
 def test_sharded_pgo_with_gps_priors_matches_single_device():
-    from tests.test_backend import circle_poses, drifted_odometry
+    from pgo_fixtures import circle_poses, drifted_odometry
 
     rng = np.random.default_rng(5)
     gt = circle_poses(40)
