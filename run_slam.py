@@ -338,7 +338,7 @@ def _run_batched_chunks(config, odo, sources, t_total, chunk):
         batch = np.stack(
             [
                 np.stack(
-                    [fix_scan_size(np.asarray(src.scan(t))[:, :3], config.num_points)
+                    [fix_scan_size(np.asarray(src.scan(t))[:, :3], config.num_points, seed=t)
                      for t in range(start, end)]
                 )
                 for src in sources.values()
