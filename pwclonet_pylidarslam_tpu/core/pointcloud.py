@@ -19,7 +19,12 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_P1, _P2, _P3 = jnp.int32(73856093), jnp.int32(19349669), jnp.int32(83492791)
+import numpy as np
+
+# plain numpy scalars, NOT jnp: a module-level device array would initialize
+# the XLA backend at import time, which breaks multi-host bootstrap ordering
+# (jax.distributed.initialize must run before any backend-touching call)
+_P1, _P2, _P3 = np.int32(73856093), np.int32(19349669), np.int32(83492791)
 
 
 def voxelise(

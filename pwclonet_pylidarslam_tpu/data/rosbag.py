@@ -696,6 +696,14 @@ class UrbanLocoSequence(RosbagSequence):
         self._gt = interp
         return self._gt
 
+    def gps_poses(self) -> Optional[np.ndarray]:
+        """Per-scan GPS/INS pose measurements ``(T, 4, 4)`` for unary pose-graph
+        priors — the INSPVAX stream interpolated at scan times, i.e. the same
+        measurements the reference harvests as ``se3_absolute_constraint_<i>``
+        (ref ``backend.py:83,104-106,275-330``; the reference's GPS constraints
+        and its UrbanLoco ground truth are one and the same INSPVAX stream)."""
+        return self.ground_truth()
+
 
 def _interpolate_poses(
     stamps: np.ndarray, poses: np.ndarray, query: np.ndarray

@@ -131,6 +131,8 @@ def main(argv: Optional[Sequence[str]] = None):
     parser.add_argument("--batch-per-device", type=int, default=8)
     parser.add_argument("--num-points", type=int, default=8192)
     parser.add_argument("--tiny", action="store_true", help="tiny model (harness validation)")
+    parser.add_argument("--out", type=str, default=None,
+                        help="also write the full record set to this JSON file")
     args = parser.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")] if args.sizes else None
     records = measure_scaling(
@@ -144,16 +146,25 @@ def main(argv: Optional[Sequence[str]] = None):
     )
     for record in records:
         print(json.dumps(record))
+    summary = None
     if len(records) > 1:
-        print(
-            json.dumps(
-                {
-                    "metric": "dp_scaling_efficiency",
-                    "max_devices": records[-1]["devices"],
-                    "efficiency": records[-1]["efficiency"],
-                }
-            )
-        )
+        summary = {
+            "metric": "dp_scaling_efficiency",
+            "max_devices": records[-1]["devices"],
+            "efficiency": records[-1]["efficiency"],
+        }
+        print(json.dumps(summary))
+    if args.out:
+        payload = {
+            "platform": jax.devices()[0].platform,
+            "n_devices": len(jax.devices()),
+            "tiny": args.tiny,
+            "records": records,
+        }
+        if summary is not None:
+            payload["summary"] = summary
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -296,9 +296,15 @@ def _register(
     n = points.shape[0]
     w_prior = None
     inv_init = None
-    if config.prior_sigma_trans > 0 and config.prior_sigma_rot_deg > 0:
-        wt = 1.0 / config.prior_sigma_trans**2
-        wr = 1.0 / jnp.deg2rad(config.prior_sigma_rot_deg) ** 2
+    if config.prior_sigma_trans > 0 or config.prior_sigma_rot_deg > 0:
+        # each component enables independently (a zero sigma disables only
+        # its half with weight 0 — ADVICE r2)
+        wt = 1.0 / config.prior_sigma_trans**2 if config.prior_sigma_trans > 0 else 0.0
+        wr = (
+            1.0 / float(np.deg2rad(config.prior_sigma_rot_deg)) ** 2
+            if config.prior_sigma_rot_deg > 0
+            else 0.0
+        )
         w_prior = jnp.asarray([wt, wt, wt, wr, wr, wr], points.dtype)
         inv_init = (
             jnp.eye(4, dtype=points.dtype)

@@ -21,7 +21,14 @@ from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
 
 
 class SequenceSource(Protocol):
-    """Anything that yields per-frame scans and optional GT poses."""
+    """Anything that yields per-frame scans and optional GT poses.
+
+    Sources may additionally expose ``gps_poses() -> Optional[(T, 4, 4)]`` —
+    per-frame absolute pose *measurements* (GPS/INS) consumed as unary
+    pose-graph priors when ``SLAMRunnerConfig.use_gps`` is set; frames
+    without a fix carry NaN entries (ref harvests the equivalent
+    ``se3_absolute_constraint_<i>`` keys, backend.py:83,104-106,275-330).
+    """
 
     def __len__(self) -> int: ...
 
@@ -44,6 +51,11 @@ class SLAMRunnerConfig:
     # sequence continues bit-exact from its last snapshot instead of frame 0
     snapshot_every_frames: int = 0
     resume: bool = False
+    # feed each source's gps_poses() into the backend as unary priors
+    # (requires slam.with_backend; pair with slam.optimize_on_absolute to
+    # re-optimize as fixes arrive — ref backend.py:275-330 GPS edges)
+    use_gps: bool = False
+    gps_information: Optional[np.ndarray] = None  # (6,6) or None = defaults
 
 
 class SLAMRunner:
@@ -86,9 +98,25 @@ class SLAMRunner:
             slam.restore(snap_dir)
             start = len(getattr(slam.odometry, "results", []) or [])
 
+        gps = None
+        if self.config.use_gps:
+            if not self.config.slam.with_backend:
+                raise ValueError("use_gps requires slam.with_backend=True")
+            gps_fn = getattr(source, "gps_poses", None)
+            gps = gps_fn() if gps_fn is not None else None
+            if gps is None:
+                print(f"[SLAMRunner] {name}: use_gps set but source has no GPS stream")
+
         t0 = time.perf_counter()
         for i in range(start, n):
-            slam.process_next_frame(source.scan(i))
+            gps_i = None
+            if gps is not None and i < len(gps) and np.all(np.isfinite(gps[i])):
+                gps_i = gps[i]
+            slam.process_next_frame(
+                source.scan(i),
+                absolute_pose_gps=gps_i,
+                absolute_information=self.config.gps_information,
+            )
             if (
                 self.config.save_every_frames
                 and (i + 1) % self.config.save_every_frames == 0

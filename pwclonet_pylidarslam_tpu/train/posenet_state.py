@@ -209,6 +209,25 @@ def posenet_train_step(
     return new_state, log
 
 
+def posenet_train_steps(
+    model: PoseResNet,
+    config: PoseNetTrainConfig,
+    state: PoseNetTrainState,
+    batch_block: Dict[str, jax.Array],
+    rng: jax.Array,
+) -> Tuple[PoseNetTrainState, Dict[str, jax.Array]]:
+    """K train steps in one dispatch (``lax.scan`` over ``(K, B, ...)``
+    batch blocks) — see ``train/state.py::train_steps`` for rationale."""
+    k = jax.tree.leaves(batch_block)[0].shape[0]
+    rngs = jax.random.split(rng, k)
+
+    def body(s, inp):
+        batch, step_rng = inp
+        return posenet_train_step(model, config, s, batch, step_rng)
+
+    return jax.lax.scan(body, state, (batch_block, rngs))
+
+
 def posenet_eval_step(
     model: PoseResNet,
     config: PoseNetTrainConfig,

@@ -20,6 +20,7 @@ from pwclonet_pylidarslam_tpu.train.posenet_state import (
     create_posenet_train_state,
     posenet_eval_step,
     posenet_train_step,
+    posenet_train_steps,
 )
 from pwclonet_pylidarslam_tpu.train.trainer import BaseTrainer
 
@@ -29,6 +30,7 @@ class PoseNetTrainerConfig:
     train: PoseNetTrainConfig = dataclasses.field(default_factory=PoseNetTrainConfig)
     vm_shape: Tuple[int, int] = (64, 720)  # KITTI HDL-64 default projector grid
     num_epochs: int = 100
+    steps_per_dispatch: int = 16  # lax.scan train blocks (see TrainerConfig)
     log_dir: str = "./posenet_train_output"
     checkpoint_every_epochs: int = 10
     eval_every_epochs: int = 1
@@ -47,6 +49,10 @@ class PoseNetTrainer(BaseTrainer):
         )
         self._train_step = jax.jit(
             lambda s, b, r: posenet_train_step(self.model, self.config.train, s, b, r)
+        )
+        self._train_steps = jax.jit(
+            lambda s, b, r: posenet_train_steps(self.model, self.config.train, s, b, r),
+            donate_argnums=0,
         )
         self._eval_step = jax.jit(
             lambda s, b: posenet_eval_step(self.model, self.config.train, s, b)

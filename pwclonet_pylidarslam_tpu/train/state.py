@@ -151,6 +151,37 @@ def train_step(
     return new_state, log
 
 
+def train_steps(
+    model: PWCLONet,
+    config: TrainConfig,
+    state: TrainState,
+    batch_block: Dict[str, jax.Array],
+    rng: jax.Array,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """K train steps in ONE device dispatch via ``lax.scan``.
+
+    ``batch_block`` carries ``(K, B, ...)`` arrays — K host batches stacked
+    along a leading scan axis. On a network-attached TPU the per-dispatch
+    host round trip (~60 ms upload + sync) dominates a single ~10 ms step;
+    scanning K steps amortizes it K-fold, the same trick the SLAM path uses
+    in ``icp_odometry.process_sequence``. Returns the advanced state and
+    per-step logs stacked ``(K,)``. jit with ``donate_argnums`` on the state
+    (the trainer and ``bench.py`` both do).
+
+    This is the measured training hot loop (ref
+    ``slam/training/trainer.py:546-676`` iterates batches host-side; here the
+    iteration itself lives on device).
+    """
+    k = jax.tree.leaves(batch_block)[0].shape[0]
+    rngs = jax.random.split(rng, k)
+
+    def body(s, inp):
+        batch, step_rng = inp
+        return train_step(model, config, s, batch, step_rng)
+
+    return jax.lax.scan(body, state, (batch_block, rngs))
+
+
 def eval_step(
     model: PWCLONet,
     config: TrainConfig,

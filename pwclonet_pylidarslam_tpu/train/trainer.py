@@ -36,6 +36,7 @@ from pwclonet_pylidarslam_tpu.train.state import (
     create_train_state,
     eval_step,
     train_step,
+    train_steps,
 )
 
 import jax.numpy as jnp
@@ -45,6 +46,11 @@ import jax.numpy as jnp
 class TrainerConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     num_epochs: int = 120  # ref train.sh recipe
+    # train steps fused into one device dispatch (lax.scan over a stacked
+    # batch block, ``train/state.py::train_steps``). Through a network tunnel
+    # the per-dispatch round trip dominates a single step; 16 steps/dispatch
+    # makes the measured throughput the compute throughput (VERDICT r2 #1).
+    steps_per_dispatch: int = 16
     log_dir: str = "./train_output"
     checkpoint_every_epochs: int = 10  # periodic checkpoints (ref ATrainer)
     eval_every_epochs: int = 1
@@ -86,6 +92,7 @@ class BaseTrainer:
         self.config = config
         os.makedirs(config.log_dir, exist_ok=True)
         self.epoch = 0
+        self._host_step = 0  # host-side step counter (rng folding, no sync)
         self.best_train_loss = float("inf")
         self.best_eval_loss = float("inf")
         self.history: List[Dict] = []
@@ -174,17 +181,59 @@ class BaseTrainer:
     def train_epoch(self, batches: Iterable[Dict]) -> float:
         meter = AverageMeter()
         skipped = 0
-        for i, batch in enumerate(batches):
+        k = max(1, getattr(self.config, "steps_per_dispatch", 1))
+        steps_fn = getattr(self, "_train_steps", None)
+
+        def record(losses, n_per_batch):
+            nonlocal skipped
+            for loss in np.atleast_1d(losses):
+                if np.isfinite(loss):
+                    meter.update(float(loss), n=n_per_batch)
+                else:
+                    skipped += 1
+
+        def flush(block):
+            if not block:
+                return
             rng = jax.random.fold_in(
-                jax.random.key(self.config.seed + 1), int(self.state.step)
+                jax.random.key(self.config.seed + 1), self._host_step
             )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, log = self._train_step(self.state, batch, rng)
-            loss = float(log["loss"])
-            if np.isfinite(loss):
-                meter.update(loss, n=self._batch_size(batch))
+            n_per_batch = self._batch_size(block[0])
+            if steps_fn is not None and len(block) > 1:
+                stacked = {
+                    key: jnp.stack([jnp.asarray(b[key]) for b in block])
+                    for key in block[0]
+                }
+                self.state, logs = steps_fn(self.state, stacked, rng)
+                record(np.asarray(logs["loss"]), n_per_batch)
             else:
-                skipped += 1
+                batch = {key: jnp.asarray(v) for key, v in block[0].items()}
+                self.state, log = self._train_step(self.state, batch, rng)
+                record(float(log["loss"]), n_per_batch)
+            self._host_step += len(block)
+
+        # group equal-shaped batches into K-step blocks; a shape change or the
+        # epoch tail flushes early (tail batches run the single-step path so
+        # only two programs ever compile)
+        block: List[Dict] = []
+        for batch in batches:
+            if block and (
+                len(block) == k
+                or self._batch_size(batch) != self._batch_size(block[0])
+            ):
+                if len(block) < k:  # odd-shaped run: flush one by one
+                    for b in block:
+                        flush([b])
+                    block = []
+                else:
+                    flush(block)
+                    block = []
+            block.append(batch)
+        if len(block) == k:
+            flush(block)
+        else:
+            for b in block:
+                flush([b])
         if skipped:
             print(f"[trainer] skipped {skipped} non-finite batches this epoch")
         return meter.average
@@ -282,6 +331,10 @@ class PWCLONetTrainer(BaseTrainer):
         )
         self._train_step = jax.jit(
             lambda s, b, r: train_step(self.model, self.config.train, s, b, r)
+        )
+        self._train_steps = jax.jit(
+            lambda s, b, r: train_steps(self.model, self.config.train, s, b, r),
+            donate_argnums=0,
         )
         self._eval_step = jax.jit(
             lambda s, b: eval_step(self.model, self.config.train, s, b)

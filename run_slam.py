@@ -35,8 +35,17 @@ class RunConfig:
     vm_width: int = 720
     association: str = "projective"  # projective (fast) | voxel (accuracy, KdTree-F2M)
     bev_bootstrap: bool = False  # in-graph BEV prior for fast rotation (icp only)
+    max_num_alignments: int = 15  # outer ICP iterations (icp only)
     with_loop_closure: bool = False
     with_backend: bool = False
+    # GPS-constrained SLAM: feed the source's gps_poses() stream into the
+    # backend as unary priors and re-optimize as fixes arrive (implies
+    # with_backend; ref se3_absolute_constraint harvesting, backend.py:275-330).
+    # Real producer: dataset=urbanloco (INSPVAX); dataset=synthetic simulates
+    # a fix every ``gps_stride`` frames with ``gps_noise`` m of position noise.
+    gps: bool = False
+    gps_stride: int = 10
+    gps_noise: float = 0.05
     # process ALL sequences simultaneously in one device dispatch stream
     # (BatchedICPOdometry: vmap over sequences; odometry-only — incompatible
     # with loop closure / backend / snapshots). Sequences are truncated to
@@ -70,8 +79,8 @@ def build_sources(config: RunConfig):
             )
 
             class _Source:
-                def __init__(self, scans, gt):
-                    self.scans, self.gt = scans, gt
+                def __init__(self, scans, gt, gps=None):
+                    self.scans, self.gt, self._gps = scans, gt, gps
 
                 def __len__(self):
                     return len(self.scans)
@@ -82,7 +91,22 @@ def build_sources(config: RunConfig):
                 def ground_truth(self):
                     return self.gt
 
-            sources[f"synth{int(s):02d}"] = _Source(scans, gt)
+                def gps_poses(self):
+                    return self._gps
+
+            gps = None
+            if config.gps:
+                # simulated GPS: GT position + noise every gps_stride frames,
+                # NaN elsewhere (no fix)
+                import numpy as np
+
+                r = np.random.default_rng(int(s) + 1)
+                gps = np.full_like(gt, np.nan)
+                for t in range(0, len(gt), config.gps_stride):
+                    fix = gt[t].copy()
+                    fix[:3, 3] += r.normal(scale=config.gps_noise, size=3)
+                    gps[t] = fix
+            sources[f"synth{int(s):02d}"] = _Source(scans, gt, gps)
     elif config.dataset == "kitti":
         from pwclonet_pylidarslam_tpu.data.kitti import KittiSequence
 
@@ -162,7 +186,8 @@ def main(argv: Optional[List[str]] = None):
 
     slam_cfg = SLAMConfig(
         with_loop_closure=config.with_loop_closure,
-        with_backend=config.with_backend,
+        with_backend=config.with_backend or config.gps,
+        optimize_on_absolute=config.gps,
     )
     runner_cfg = SLAMRunnerConfig(
         slam=slam_cfg,
@@ -170,10 +195,11 @@ def main(argv: Optional[List[str]] = None):
         max_frames=config.max_frames or None,
         snapshot_every_frames=config.snapshot_every_frames,
         resume=config.resume,
+        use_gps=config.gps,
     )
     if config.batched:
-        if config.with_loop_closure or config.with_backend or config.resume:
-            raise SystemExit("batched=true is odometry-only (no loop closure/backend/resume)")
+        if config.with_loop_closure or config.with_backend or config.resume or config.gps:
+            raise SystemExit("batched=true is odometry-only (no loop closure/backend/gps/resume)")
         if config.snapshot_every_frames:
             raise SystemExit("batched=true does not support snapshots")
         if config.odometry != "icp":
@@ -242,16 +268,15 @@ def main(argv: Optional[List[str]] = None):
             )
         )
     elif config.odometry == "icp":
-        if config.bev_bootstrap or config.association != "projective":
-            from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+        from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
 
-            odometry = ICPOdometry(
-                ICPConfig(
-                    num_points=config.num_points,
-                    bev_bootstrap=config.bev_bootstrap,
-                    association=config.association,
-                )
-            )
+        slam_cfg.odometry = ICPConfig(
+            num_points=config.num_points,
+            bev_bootstrap=config.bev_bootstrap,
+            association=config.association,
+            max_num_alignments=config.max_num_alignments,
+        )
+        odometry = ICPOdometry(slam_cfg.odometry)
     else:
         raise SystemExit(f"unknown odometry {config.odometry!r}")
     runner = SLAMRunner(runner_cfg, odometry=odometry)

@@ -48,6 +48,9 @@ class Config:
     seed: int = 0
     # synthetic smoke-training shape knobs
     synthetic_batches: int = 8
+    # dataset=synthetic_world: frames per generated world sequence (sequence
+    # ids act as world seeds; train/eval splits use disjoint seed ranges)
+    synthetic_frames: int = 240
     profile_dir: str = ""  # capture a jax.profiler trace (XProf)
     fused_eval: bool = False  # test mode: fused Pallas eval kernels (TPU)
     # PoseNet-specific knobs (ref PoseNetTrainer, train.py:77-143)
@@ -84,6 +87,38 @@ def make_batch_fns(config: Config, model_cfg):
         train_data = gen(config.seed)
         eval_data = gen(config.seed + 1)
         return (lambda: iter(train_data)), (lambda: iter(eval_data))
+
+    if config.dataset == "synthetic_world":
+        # raycast-world frame pairs (the trained-deep-odometry evidence
+        # path): sequence ids are world seeds; eval worlds use seed+1000
+        from pwclonet_pylidarslam_tpu.data.synthetic import (
+            SyntheticPairDataset,
+            generate_sequence,
+            kitti_preset,
+        )
+
+        def make_ds(seed_ids, offset, augment, seed):
+            seqs = [
+                generate_sequence(
+                    kitti_preset(n_frames=config.synthetic_frames, seed=offset + s)
+                )
+                for s in seed_ids
+            ]
+            return SyntheticPairDataset(
+                seqs, num_points=config.num_points, augment=augment, seed=seed
+            )
+
+        train_ds = make_ds(_seqs(config.train_sequences), 100, config.augment,
+                           config.seed)
+        eval_ds = make_ds(_seqs(config.eval_sequences), 1100, False,
+                          config.seed + 1)
+        epoch = [0]
+
+        def train_fn():
+            epoch[0] += 1
+            return train_ds.batches(config.batch_size, shuffle=True, seed=epoch[0])
+
+        return train_fn, (lambda: eval_ds.batches(config.batch_size, shuffle=False))
 
     if config.dataset == "kitti360":
         # ref train.py:337-345 constructs Kitti360Dataset directly for the
@@ -218,15 +253,23 @@ def run_train_posenet(config: Config) -> int:
 def make_test_sequence(config: Config, s: int):
     """Test-mode sequence source for BOTH deep odometry test CLIs
     (pwclonet and posenet share the dataset selection)."""
-    if config.dataset == "synthetic":
+    if config.dataset in ("synthetic", "synthetic_world"):
         from pwclonet_pylidarslam_tpu.data.synthetic import (
             SyntheticSequenceConfig,
             generate_sequence,
+            kitti_preset,
         )
 
-        scans, gt = generate_sequence(
-            SyntheticSequenceConfig(n_frames=16, seed=s, num_points=config.num_points)
-        )
+        if config.dataset == "synthetic_world":
+            # held-out world: test sequence ids are world seeds (offset away
+            # from the train/eval seed ranges)
+            scans, gt = generate_sequence(
+                kitti_preset(n_frames=config.synthetic_frames, seed=2100 + s)
+            )
+        else:
+            scans, gt = generate_sequence(
+                SyntheticSequenceConfig(n_frames=16, seed=s, num_points=config.num_points)
+            )
 
         class _Synth:
             def __len__(self):
