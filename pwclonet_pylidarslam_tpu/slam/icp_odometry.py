@@ -110,7 +110,20 @@ class ICPConfig:
     association: str = "projective"  # projective | voxel
     voxel_size: float = 1.5  # meters (voxel mode; also the NN search reach)
     voxel_table_size: int = 1 << 16
-    voxel_bucket_cap: int = 32
+    voxel_bucket_cap: int = 64
+    # grid-sample the aggregated map to ONE point per this sub-voxel before
+    # bucketing (0 = off). Without it, dense surfaces (near ground, facades)
+    # overflow the bucket cap and the drop order is arbitrary — measured on
+    # the kitti_drive world, that preferentially evicts the SPARSE
+    # along-track-facing features (pole/car/corner points sharing cells with
+    # dominant walls), leaving the point-to-plane system blind along-track:
+    # the solver then locks into a zero-motion basin for whole bursts of
+    # frames (~1 m/frame error at 6k confident matches). Uniform density
+    # capping keeps one point per sub-voxel, so small features survive in
+    # their own cells; a 3 m bucket then holds ≤(3/0.45)²≈44 ground points,
+    # within cap. (The reference's KdTree stores raw points — exact NN has
+    # no drop bias to begin with; this restores that property.)
+    voxel_sample_size: float = 0.45  # meters
     # 27 = 3x3x3 cells of voxel_size; 8 = half-offset 2x2x2 cells of
     # 2·voxel_size (same exactness guarantee within voxel_size, 3.4x fewer
     # bucket gathers — pair with a larger bucket cap). 8 measures both
@@ -238,7 +251,7 @@ def _register(
                 lambda: tuple(gather_fn(warped)) + (warped,),
                 lambda: corr,
             )
-            target, normal, w_assoc = from_cache_fn(corr[:-1], warped, gate)
+            target, normal, w_assoc = from_cache_fn(corr[:-1], warped, gate, refresh)
         elif config.reassociate_every > 1:
             corr = jax.lax.cond(
                 i % config.reassociate_every == 0,
@@ -400,6 +413,13 @@ def process_frame(
         # per-update kdtree rebuild, local_map.py:365-369, but one sort +
         # one unique scatter on device instead of a CPU tree build)
         flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
+        if config.voxel_sample_size > 0:
+            from pwclonet_pylidarslam_tpu.core.pointcloud import grid_sample_mask
+
+            keep = grid_sample_mask(
+                flat_pts, config.voxel_sample_size, valid=flat_ok
+            )
+            flat_ok = flat_ok * keep.astype(flat_ok.dtype)
         cell = config.voxel_size * (2.0 if config.voxel_neighborhood == 8 else 1.0)
         table = lm.build_voxel_table(
             flat_pts, flat_nrm, flat_ok, cell,
@@ -411,20 +431,30 @@ def process_frame(
             # per-point candidate buckets gathered inside the GN loop every
             # voxel_cache_refresh_every iterations; the iterations between
             # refreshes re-associate from the cache (streaming argmin)
+            # the cached octant set is only complete out to
+            # (1 - margin)*voxel_size once points may have drifted the margin
+            # since the gather — clamp the acceptance gate there on STALE
+            # iterations so an outer-ring candidate can't beat the true NN.
+            # On refresh iterations (candidates gathered at the CURRENT
+            # positions, including i=0) the full voxel_size reach is valid —
+            # clamping those too cuts the recovery reach below one frame of
+            # motion (~1.1-1.3 m at the clamp's 1.125 m), and a failed prior
+            # then locks the solver into a zero-motion basin for bursts of
+            # frames (measured: 0.12% vs 31% t_rel on the 32-beam world).
             assoc_cache_fns = (
                 lambda warped: lm.gather_voxel_candidates(
                     table, warped, config.voxel_size,
                     neighborhood=config.voxel_neighborhood,
                 ),
-                # the cached octant set is only complete out to
-                # (1 - margin)*voxel_size once points may have drifted the
-                # margin since the gather — clamp the acceptance gate there
-                # so a stale outer-ring candidate can't beat the true NN
-                lambda cache, warped, gate: lm.nn_from_candidates(
+                lambda cache, warped, gate, fresh: lm.nn_from_candidates(
                     cache[0], cache[1], warped,
                     jnp.minimum(
                         gate,
-                        (1.0 - config.voxel_cache_margin) * config.voxel_size,
+                        jnp.where(
+                            fresh,
+                            config.voxel_size,
+                            (1.0 - config.voxel_cache_margin) * config.voxel_size,
+                        ),
                     ),
                 ),
             )

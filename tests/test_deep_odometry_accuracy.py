@@ -101,3 +101,69 @@ def test_trained_pwclonet_beats_untrained_on_heldout_world():
     # ATE ≈ the 1 m/frame travel)
     assert ate1 < 0.6 * ate0, (ate1, ate0)
     assert np.isfinite(pred).all()
+
+
+@pytest.mark.slow
+def test_trained_posenet_beats_untrained_on_heldout_world():
+    """Same evidence axis for PoseResNet (cheaper: vertex maps + ResNet-18;
+    ref ``PoseNetTrainer`` train.py:77-143 + ``posenet_odometry.py``)."""
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.core.projection import SphericalProjector
+    from pwclonet_pylidarslam_tpu.data.vm_pairs import VertexMapPairDataset
+    from pwclonet_pylidarslam_tpu.models.posenet import PoseResNetConfig
+    from pwclonet_pylidarslam_tpu.slam.deep_odometry import (
+        PoseNetOdometry,
+        PoseNetOdometryConfig,
+    )
+    from pwclonet_pylidarslam_tpu.train.posenet_state import (
+        PoseNetTrainConfig,
+        create_posenet_train_state,
+        posenet_train_steps,
+    )
+
+    projector = SphericalProjector(height=32, width=256)
+    cfg = PoseNetTrainConfig(
+        model=PoseResNetConfig(), projector=projector, learning_rate=3e-4
+    )
+    model, state = create_posenet_train_state(cfg, jax.random.key(0), (32, 256))
+    variables0 = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+
+    train_seqs = [_world(s) for s in (1, 2)]
+    datasets = [
+        VertexMapPairDataset.from_scans(scans, gt, projector, num_points=2048)
+        for scans, gt in train_seqs
+    ]
+
+    steps = jax.jit(
+        lambda s, b, r: posenet_train_steps(model, cfg, s, b, r), donate_argnums=0
+    )
+    losses = []
+    for epoch in range(14):
+        batch_list = [b for ds in datasets for b in ds.batches(8, seed=epoch)]
+        block = {
+            k: jnp.stack([jnp.asarray(b[k]) for b in batch_list])
+            for k in batch_list[0]
+        }
+        state, log = steps(state, block, jax.random.key(epoch))
+        losses.append(float(np.asarray(log["loss"]).mean()))
+    assert losses[-1] < losses[0], losses
+
+    scans, gt = _world(seed=9)
+
+    def run(variables):
+        odo = PoseNetOdometry(variables, PoseNetOdometryConfig(projector=projector))
+        odo.init()
+        odo.process_sequence(np.asarray(scans, np.float32))
+        pred = odo.absolute_poses()
+        ate, _ = M.compute_ate(
+            M.compute_relative_poses(pred), M.compute_relative_poses(gt)
+        )
+        return ate
+
+    ate0 = run(variables0)
+    ate1 = run({"params": state.params, "batch_stats": state.batch_stats})
+    assert ate1 < 0.6 * ate0, (ate1, ate0)
