@@ -56,6 +56,9 @@ class SLAMRunnerConfig:
     # re-optimize as fixes arrive — ref backend.py:275-330 GPS edges)
     use_gps: bool = False
     gps_information: Optional[np.ndarray] = None  # (6,6) or None = defaults
+    # per-sequence offline HTML gallery (vertex-map/BEV strips + trajectory
+    # overlays) — the headless stand-in for the reference's live viz windows
+    gallery: bool = False
 
 
 class SLAMRunner:
@@ -142,6 +145,27 @@ class SLAMRunner:
         gt = source.ground_truth()
         if gt is not None:
             gt = gt[:n]
-        return self.results.add_sequence(
+        md = self.results.add_sequence(
             name, predicted, gt, elapsed_seconds=elapsed
         )
+        if self.config.gallery:
+            from pwclonet_pylidarslam_tpu.evaluation.gallery import (
+                write_run_gallery,
+            )
+
+            class _LazyScans:  # only the sampled frames are ever loaded
+                def __len__(self):
+                    return n
+
+                def __getitem__(self, i):
+                    return np.asarray(source.scan(i))[:, :3]
+
+            write_run_gallery(
+                os.path.join(self.config.log_dir, f"{name}_gallery"),
+                name,
+                _LazyScans(),
+                predicted,
+                gt,
+                metrics=md,
+            )
+        return md

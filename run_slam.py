@@ -54,6 +54,9 @@ class RunConfig:
     num_points: int = 8192
     snapshot_every_frames: int = 0  # full-pipeline snapshot cadence (0 = off)
     resume: bool = False  # continue a crashed run from its last snapshot
+    # offline per-sequence HTML gallery (vertex-map/BEV strips + trajectory
+    # overlays) — headless replacement for the reference's live viz windows
+    gallery: bool = False
     profile_dir: str = ""  # capture a jax.profiler trace of the run (XProf)
     synthetic_frames: int = 60
     synthetic_trajectory: str = "curve"
@@ -196,6 +199,7 @@ def main(argv: Optional[List[str]] = None):
         snapshot_every_frames=config.snapshot_every_frames,
         resume=config.resume,
         use_gps=config.gps,
+        gallery=config.gallery,
     )
     if config.batched:
         if config.with_loop_closure or config.with_backend or config.resume or config.gps:

@@ -85,6 +85,28 @@ def test_train_net_train_then_test(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_slam_gallery(tmp_path):
+    """gallery=true writes the offline HTML gallery (headless stand-in for
+    the reference's live viz windows, slam/viz/visualizer.py:22)."""
+    import run_slam
+
+    out = tmp_path / "gal"
+    rc = run_slam.main(
+        [f"log_dir={out}", "dataset=synthetic", "sequences=0",
+         "synthetic_frames=8", "num_points=1024", "gallery=true"]
+    )
+    assert rc == 0
+    gal = out / "synth00_gallery"
+    page = (gal / "index.html").read_text()
+    assert "Trajectory" in page and "frame 0" in page
+    for f in ("path_2d.png", "path_3d.png", "xyz.png", "rpy.png"):
+        assert (gal / f).exists(), f
+    vm_imgs = list(gal.glob("frame_*_vm.png"))
+    bev_imgs = list(gal.glob("frame_*_bev.png"))
+    assert len(vm_imgs) == 8 and len(bev_imgs) == 8
+
+
+@pytest.mark.slow
 def test_run_slam_gps_priors(tmp_path):
     """CLI-level GPS-constrained SLAM (VERDICT r2 missing #3): a drifting
     synthetic run with sparse simulated fixes must show much lower ABSOLUTE
