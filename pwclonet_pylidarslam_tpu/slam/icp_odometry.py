@@ -54,6 +54,12 @@ class ICPConfig:
     threshold_rot: float = 0.3  # degrees
     sigma: float = 0.1  # robust scheme scale (floor; annealed with the gate)
     scheme: str = "huber"
+    # robust sigma anneal: sigma_i = max(sigma, sigma_anneal * gate). The
+    # coarse-iteration floor keeps far-off true evidence alive under fast
+    # motion; the converged floor (sigma_anneal * max_assoc_distance) sets
+    # how hard near-range outliers (moving vehicles: ~0.1-0.3 m coherent
+    # residuals) are rejected at the end.
+    sigma_anneal: float = 0.5
     # coarse-to-fine association gate: starts at ``initial_assoc_distance``
     # and halves every outer iteration down to ``max_assoc_distance``; a
     # fixed tight gate rejects all matches when the motion prior is off by
@@ -124,6 +130,15 @@ class ICPConfig:
     # within cap. (The reference's KdTree stores raw points — exact NN has
     # no drop bias to begin with; this restores that property.)
     voxel_sample_size: float = 0.45  # meters
+    # exclude the most recently inserted keyframe from voxel association
+    # (when the map holds more than one). A vehicle pacing the sensor is
+    # near-stationary in the sensor frame: its newest map imprint sits at
+    # ~zero displacement from the incoming scan and votes coherently for a
+    # zero-motion pose, while its older imprints are smeared along the
+    # relative track and get rejected as outliers. Associating against
+    # map-minus-newest removes the coherent zero-offset cluster and keeps
+    # the (well-aligned) static world. Static scenes are unaffected.
+    voxel_skip_latest_keyframe: bool = True
     # 27 = 3x3x3 cells of voxel_size; 8 = half-offset 2x2x2 cells of
     # 2·voxel_size (same exactness guarantee within voxel_size, 3.4x fewer
     # bucket gathers — pair with a larger bucket cap). 8 measures both
@@ -266,7 +281,7 @@ def _register(
         # iterations, spurious zero-residual matches outweigh the true
         # large-residual evidence and ICP stalls under fast motion (found by
         # probing 2 m/frame straight sequences)
-        sigma_i = jnp.maximum(config.sigma, 0.5 * gate)
+        sigma_i = jnp.maximum(config.sigma, config.sigma_anneal * gate)
         # one inlined GN step (no nested while_loop — loop overhead per outer
         # iteration dominates the actual 6x6 solve on TPU)
         res, jac = opt.point_to_plane_residual_jac(
@@ -413,6 +428,14 @@ def process_frame(
         # per-update kdtree rebuild, local_map.py:365-369, but one sort +
         # one unique scatter on device instead of a CPU tree build)
         flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
+        if config.voxel_skip_latest_keyframe:
+            k, p = state.map.points.shape[:2]
+            latest = (state.map.next_slot - 1) % k
+            slot_ids = jnp.repeat(jnp.arange(k), p)
+            multi = jnp.sum(state.map.valid) > 1.5  # keep a 1-keyframe map usable
+            flat_ok = jnp.where(
+                jnp.logical_and(multi, slot_ids == latest), 0.0, flat_ok
+            )
         if config.voxel_sample_size > 0:
             from pwclonet_pylidarslam_tpu.core.pointcloud import grid_sample_mask
 

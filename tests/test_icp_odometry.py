@@ -295,6 +295,30 @@ def test_voxel_nn_matches_brute_force():
     assert checked > 10
 
 
+def test_voxel_skip_latest_keyframe_single_kf_guard():
+    """With skip-latest on (default), a ONE-keyframe map must still
+    associate (the skip only applies once a second keyframe exists) — frame
+    2 registers against frame 1's keyframe, not an empty table."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam import ICPConfig, ICPOdometry
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(n_frames=3, num_points=4096, seed=5)
+    )
+    cfg = ICPConfig(num_points=4096, association="voxel")
+    assert cfg.voxel_skip_latest_keyframe
+    odo = ICPOdometry(cfg)
+    odo.init()
+    for s in scans:
+        odo.process_next_frame(s)
+    # frame index 1 registered while only frame 0's keyframe existed
+    assert float(odo.results[1].num_matches) > cfg.min_matches
+    assert np.isfinite(odo.absolute_poses()).all()
+
+
 @pytest.mark.slow
 def test_voxel_association_icp_accuracy():
     """The KdTree-equivalent voxel mode must beat the 1% drift gate (it is
