@@ -175,7 +175,7 @@ def pwclonet_metrics():
     return {"fwd_ms": fwd_ms, "pairs_per_s": bsz / step_s}
 
 
-def deep_odometry_t_rel(scans, gt, train_budget_s=150.0):
+def deep_odometry_t_rel(scans, gt, train_budget_s=240.0):
     """Train PWCLO-Net FROM SCRATCH on a different-seed synthetic world and
     measure the trained network's trajectory on the bench world's first 256
     frames (KITTI protocol) — the trained-deep-odometry evidence axis
@@ -212,27 +212,34 @@ def deep_odometry_t_rel(scans, gt, train_budget_s=150.0):
     ds = SyntheticPairDataset(
         [train_world], num_points=8192, max_frame_gap=2, augment=True, seed=0
     )
+    # materialize ALL pairs once (per-item host filtering/augmentation is
+    # ~20 ms; doing it per dispatch would stall the chip ~50%)
+    items = [ds[i] for i in range(len(ds))]
+    data = {k: np.stack([it[k] for it in items]) for k in items[0]}
+    n_pairs = len(items)
+
     model_cfg = scaled_model_config(8192)
-    total_steps = 2000
+    total_steps = 2400
     cfg = TrainConfig(model=model_cfg, total_steps=total_steps)
     model, state = create_train_state(cfg, jax.random.key(0))
     steps_fn = jax.jit(
         lambda s, b, r: train_steps(model, cfg, s, b, r), donate_argnums=0
     )
     bsz, k_steps = 8, 16
+    per_block = bsz * k_steps
     steps_done, epoch, t0 = 0, 0, None
+    order = np.arange(n_pairs)
+    rng = np.random.default_rng(0)
     while steps_done < total_steps:
         epoch += 1
-        block = []
-        for batch in ds.batches(bsz, shuffle=True, seed=epoch):
-            block.append(batch)
-            if len(block) < k_steps:
-                continue
+        rng.shuffle(order)
+        for start in range(0, n_pairs - per_block + 1, per_block):
+            sel = order[start : start + per_block]
             stacked = {
-                k: jnp.stack([jnp.asarray(b[k]) for b in block]) for k in block[0]
+                k: jnp.asarray(v[sel].reshape((k_steps, bsz) + v.shape[1:]))
+                for k, v in data.items()
             }
-            block = []
-            state, _ = steps_fn(state, stacked, jax.random.key(epoch))
+            state, _ = steps_fn(state, stacked, jax.random.key(epoch * 1000 + start))
             if t0 is None:  # budget excludes the first (compiling) dispatch
                 jax.block_until_ready(state.step)
                 t0 = time.perf_counter()
@@ -249,11 +256,12 @@ def deep_odometry_t_rel(scans, gt, train_budget_s=150.0):
         DeepOdometryConfig(model=model_cfg, num_points=8192),
     )
     odo.init()
-    rng = np.random.default_rng(0)
+    f_rng = np.random.default_rng(0)
     filtered = np.stack(
-        [filter_scan_sensor_frame(s, 8192, rng) for s in scans[:256]]
+        [filter_scan_sensor_frame(s, 8192, f_rng) for s in scans[:256]]
     )
-    odo.process_sequence(filtered)
+    for start in range(0, len(filtered), 32):  # bounded-memory eval chunks
+        odo.process_sequence(filtered[start : start + 32])
     pred = odo.absolute_poses()
     t_rel, _, _ = M.compute_kitti_metrics(pred, gt[: len(pred)])
     return (100.0 * t_rel if t_rel is not None else float("nan")), steps_done
@@ -263,7 +271,8 @@ def main():
     scans, gt = load_kitti_profile()
     icp = icp_metrics(scans, gt)
     net = pwclonet_metrics()
-    deep_t_rel, deep_steps = deep_odometry_t_rel(scans, gt)
+    deep_budget = float(os.environ.get("BENCH_DEEP_BUDGET_S", "240"))
+    deep_t_rel, deep_steps = deep_odometry_t_rel(scans, gt, deep_budget)
 
     if icp["proj_t_rel"] > T_REL_GATE:
         print(
