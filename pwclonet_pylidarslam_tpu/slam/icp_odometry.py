@@ -115,7 +115,13 @@ class ICPConfig:
     # coarse-to-fine pixel gate.
     association: str = "projective"  # projective | voxel
     voxel_size: float = 1.5  # meters (voxel mode; also the NN search reach)
-    voxel_table_size: int = 1 << 16
+    # hash-table rows. The per-frame build scatters rows*cap slots, so the
+    # table size is a direct latency lever: 2^14 measures 34 ms/frame vs
+    # 51 ms at 2^16 with IDENTICAL t_rel on the bench world (the grid-sampled
+    # map holds ~40k points; collisions only add distance-tested candidates).
+    # Raise to 2^16 for much denser maps (voxel_sample_size=0, map_stride=1,
+    # large local_map_size).
+    voxel_table_size: int = 1 << 14
     voxel_bucket_cap: int = 64
     # grid-sample the aggregated map to ONE point per this sub-voxel before
     # bucketing (0 = off). Without it, dense surfaces (near ground, facades)

@@ -25,8 +25,14 @@ def _drift(pred_poses: np.ndarray, gt: np.ndarray) -> float:
 
 @pytest.fixture(scope="module")
 def distorted_sequence():
+    # speed/yaw chosen so the rolling-shutter distortion is the DOMINANT
+    # error source: at 1.5 m/frame both pipelines land within measurement
+    # noise of each other (~0.5% drift) and the beats-rigid comparison is a
+    # coin flip; at 2.5 m/frame + 2°/frame the rigid interpretation pays
+    # ~2x the drift (measured 0.93% vs 0.42%)
     cfg = SyntheticSequenceConfig(
-        n_frames=12, trajectory="curve", speed=1.5, seed=3, motion_distortion=True
+        n_frames=12, trajectory="curve", speed=2.5, yaw_rate_deg=2.0, seed=3,
+        motion_distortion=True,
     )
     return generate_sequence_with_times(cfg)
 
