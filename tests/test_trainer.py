@@ -44,6 +44,60 @@ def trainer(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_train_steps_scan_matches_iterated_steps():
+    """The K-steps-per-dispatch scan block (the measured training hot loop)
+    must advance the same number of steps and produce the same per-step
+    losses as iterating single train steps with the same split rngs.
+
+    Losses are compared per step with a tolerance that tightens for step 0
+    (identical params) and loosens downstream: the scanned body and the
+    standalone step are DIFFERENT XLA programs whose reduction orders may
+    differ by ulps, and early Adam updates (v̂≈0) amplify ulp-level gradient
+    noise into sign-level parameter differences — parameter bit-equality
+    between the two programs is not a defined property. (On a backend where
+    both compile identically the paths ARE bit-exact — verified manually.)"""
+    import jax.numpy as jnp
+
+    from pwclonet_pylidarslam_tpu.train.state import (
+        create_train_state,
+        train_step,
+        train_steps,
+    )
+
+    cfg = TrainConfig(model=SMALL, total_steps=50)
+    model, state = create_train_state(cfg, jax.random.key(0))
+    r = np.random.default_rng(0)
+    k, b, n = 3, 2, 128
+    block = {
+        "xyz1": jnp.asarray(r.normal(size=(k, b, n, 3)), jnp.float32),
+        "xyz2": jnp.asarray(r.normal(size=(k, b, n, 3)), jnp.float32),
+        "gt_params": jnp.broadcast_to(
+            jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), (k, b, 7)
+        ),
+    }
+    rng = jax.random.key(7)
+    s_scan, logs = jax.jit(lambda s, bb, rr: train_steps(model, cfg, s, bb, rr))(
+        state, block, rng
+    )
+    assert logs["loss"].shape == (k,)
+
+    rngs = jax.random.split(rng, k)
+    s_ref = state
+    step = jax.jit(lambda s, bb, rr: train_step(model, cfg, s, bb, rr))
+    it_losses = []
+    for i in range(k):
+        s_ref, log = step(s_ref, {key: v[i] for key, v in block.items()}, rngs[i])
+        it_losses.append(float(log["loss"]))
+    assert int(s_scan.step) == int(s_ref.step) == k
+    scan_losses = np.asarray(logs["loss"])
+    assert np.isfinite(scan_losses).all()
+    # step 0 runs on identical params -> tight; later steps inherit the
+    # ulp-amplified divergence described above
+    np.testing.assert_allclose(scan_losses[0], it_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(scan_losses[1:], it_losses[1:], rtol=0.2)
+
+
+@pytest.mark.slow
 def test_fit_runs_and_logs(trainer):
     batches = make_batches()
     history = trainer.fit(lambda: iter(batches), lambda: iter(batches), num_epochs=2)
