@@ -175,7 +175,7 @@ def pwclonet_metrics():
     return {"fwd_ms": fwd_ms, "pairs_per_s": bsz / step_s}
 
 
-def deep_odometry_t_rel(scans, gt, train_budget_s=240.0):
+def deep_odometry_t_rel(scans, gt, train_budget_s=420.0, total_steps=4800, bsz=16):
     """Train PWCLO-Net FROM SCRATCH on a different-seed synthetic world and
     measure the trained network's trajectory on the bench world's first 256
     frames (KITTI protocol) — the trained-deep-odometry evidence axis
@@ -183,8 +183,9 @@ def deep_odometry_t_rel(scans, gt, train_budget_s=240.0):
     kittiOdomEval). Returns ``(t_rel_pct, steps_trained)``.
 
     The training budget is wall-clock bounded so the bench stays bounded;
-    the recipe (B=8, Adam + cosine, augmented pairs) mirrors the reference
-    ``train.sh`` at reduced length.
+    the recipe (Adam + cosine, augmented pairs) mirrors the reference
+    ``train.sh`` at reduced length. Measured scaling of the metric with
+    training: 64 steps → 84 %, B=8×2,400 → 25.9 %, B=16×4,800 → 4.4 %.
     """
     import jax
     import jax.numpy as jnp
@@ -219,13 +220,12 @@ def deep_odometry_t_rel(scans, gt, train_budget_s=240.0):
     n_pairs = len(items)
 
     model_cfg = scaled_model_config(8192)
-    total_steps = 2400
     cfg = TrainConfig(model=model_cfg, total_steps=total_steps)
     model, state = create_train_state(cfg, jax.random.key(0))
     steps_fn = jax.jit(
         lambda s, b, r: train_steps(model, cfg, s, b, r), donate_argnums=0
     )
-    bsz, k_steps = 8, 16
+    k_steps = 16
     per_block = bsz * k_steps
     steps_done, epoch, t0 = 0, 0, None
     order = np.arange(n_pairs)
@@ -271,7 +271,7 @@ def main():
     scans, gt = load_kitti_profile()
     icp = icp_metrics(scans, gt)
     net = pwclonet_metrics()
-    deep_budget = float(os.environ.get("BENCH_DEEP_BUDGET_S", "240"))
+    deep_budget = float(os.environ.get("BENCH_DEEP_BUDGET_S", "420"))
     deep_t_rel, deep_steps = deep_odometry_t_rel(scans, gt, deep_budget)
 
     if icp["proj_t_rel"] > T_REL_GATE:
