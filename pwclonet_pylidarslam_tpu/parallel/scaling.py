@@ -161,6 +161,15 @@ def main(argv: Optional[Sequence[str]] = None):
             "tiny": args.tiny,
             "records": records,
         }
+        if jax.devices()[0].platform == "cpu":
+            # In-band caveat so the artifact can't be misread cold
+            # (VERDICT r3 weak #5): virtual CPU devices share host cores,
+            # so the efficiency column measures core contention, not ICI
+            # scaling. Real multi-chip evidence needs TPU hardware.
+            payload["note"] = (
+                "CPU harness validation: virtual devices share host cores; "
+                "efficiency rows are core-bound, not scaling evidence"
+            )
         if summary is not None:
             payload["summary"] = summary
         with open(args.out, "w") as f:
