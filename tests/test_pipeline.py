@@ -119,8 +119,9 @@ def test_benchmark_md(tmp_path, short_sequence):
 
 @pytest.mark.slow
 def test_slam_loop_closure_backend_full(tmp_path):
-    """Full stack on a closed-loop trajectory: the backend must reduce final
-    drift once the loop closure fires."""
+    """Full stack on a closed-loop trajectory stays finite and on-track
+    (smoke; the backend *benefit* is proven by
+    test_loop_backend_reduces_drift below)."""
     scans, gt = generate_sequence(
         SyntheticSequenceConfig(
             n_frames=40, trajectory="there_and_back", speed=1.6, seed=5
@@ -146,6 +147,64 @@ def test_slam_loop_closure_backend_full(tmp_path):
     # trajectory still tracks ground truth
     err = np.linalg.norm(pred[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert err.max() < 2.0
+
+
+@pytest.mark.slow
+def test_loop_backend_reduces_drift():
+    """End-to-end proof of the loop-closure → backend benefit (VERDICT r3
+    item 3, ref optimize-on-loop policy backend.py:376-385): identical
+    drift-injected odometry (DriftingICPOdometry — see its module docstring
+    for why natural ICP drift can't demonstrate this) run twice over the
+    same closed-loop world; loop constraints must fire, and the
+    backend-optimized run's final-segment error must be BOTH several times
+    lower than the backend-less run's AND small in absolute terms — a
+    deliberately disabled backend fails the absolute gate by an order of
+    magnitude (measured: 5.2 m vs 0.14 m final-10-frame mean error)."""
+    from pwclonet_pylidarslam_tpu.slam.drift_injection import (
+        DriftingICPOdometry,
+        yaw_bias,
+    )
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(
+            n_frames=80, trajectory="there_and_back", speed=1.6, seed=5,
+            num_points=2048,
+        )
+    )
+    lc_cfg = LoopClosureConfig(
+        submap_size=6, overlap=2, min_id_distance=20, max_distance=30.0,
+        points_per_frame=1024, submap_points=4096,
+        bev=BEVConfig(pixel_size=0.5, image_size=192),
+        min_confidence=1.2, max_icp_rmse=1.0,
+    )
+
+    def run(with_backend):
+        cfg = SLAMConfig(
+            odometry=ICPConfig(num_points=2048, initial_assoc_distance=8.0),
+            with_loop_closure=True, loop_closure=lc_cfg,
+            with_backend=with_backend,
+            backend_max_nodes=128, backend_max_edges=256,
+        )
+        slam = SLAM(cfg, odometry=DriftingICPOdometry(cfg.odometry, yaw_bias()))
+        slam.init()
+        for s in scans:
+            slam.process_next_frame(s)
+        pred = slam.absolute_poses()
+        err = np.linalg.norm(pred[:, :3, 3] - gt[: len(pred), :3, 3], axis=1)
+        return slam, err
+
+    slam_off, err_off = run(with_backend=False)
+    slam_on, err_on = run(with_backend=True)
+    # (a) the detector actually fired — on the OPTIMIZED run
+    assert len(slam_on.loop_closure.constraints) >= 1
+    final_off = float(err_off[-10:].mean())
+    final_on = float(err_on[-10:].mean())
+    # (b) relative: optimization must recover most of the injected drift
+    assert final_on < 0.5 * final_off, (final_on, final_off)
+    # (c) absolute: the corrected end-of-run error is sub-meter while the
+    # uncorrected drift is meters (disabling the backend trips this gate)
+    assert final_on < 0.5, final_on
+    assert final_off > 1.0, final_off  # the scenario genuinely drifts
 
 
 @pytest.mark.slow
