@@ -64,12 +64,23 @@ def _odometry_ate(variables, scans, gt):
     return ate, pred
 
 
-@pytest.mark.slow
 def test_trained_pwclonet_beats_untrained_on_heldout_world():
+    """FAST-LANE learning gate (VERDICT r3 item 5): ~3 CPU-minutes, and the
+    bar is ABSOLUTE — trained relative-pose RMSE, averaged over TWO held-out
+    worlds, must land under 0.5× the per-frame travel (measured mean
+    0.26–0.35× across repeat runs of this exact recipe — XLA:CPU thread
+    scheduling makes training basin-level nondeterministic even with fixed
+    seeds — so a net that learned only half the motion fails). The relative
+    gate vs the untrained net is kept as a secondary signal."""
     train_seqs = [_world(s) for s in (1, 2)]
     ds = SyntheticPairDataset(train_seqs, num_points=N_POINTS, augment=False, seed=0)
 
-    cfg = TrainConfig(model=SMALL, total_steps=200, learning_rate=2e-3)
+    # cosine schedule matched to the actual step count (a 200-step schedule
+    # under 168 real steps left LR floor-bound and cost ~25% accuracy)
+    epochs, steps_per_epoch = 28, len(ds) // 8
+    cfg = TrainConfig(
+        model=SMALL, total_steps=epochs * steps_per_epoch, learning_rate=4e-3
+    )
     model, state = create_train_state(cfg, jax.random.key(0))
     variables0 = {
         "params": jax.tree.map(np.asarray, state.params),
@@ -82,7 +93,7 @@ def test_trained_pwclonet_beats_untrained_on_heldout_world():
     losses = []
     import jax.numpy as jnp
 
-    for epoch in range(28):
+    for epoch in range(epochs):
         batch_list = list(ds.batches(8, shuffle=True, seed=epoch))
         block = {
             k: jnp.stack([jnp.asarray(b[k]) for b in batch_list])
@@ -92,15 +103,22 @@ def test_trained_pwclonet_beats_untrained_on_heldout_world():
         losses.append(float(np.asarray(log["loss"]).mean()))
     assert losses[-1] < losses[0], losses
 
-    scans, gt = _world(seed=9)  # held-out world
-    ate0, _ = _odometry_ate(variables0, scans, gt)
+    heldout = [_world(seed=s) for s in (9, 10)]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    ate1, pred = _odometry_ate(variables, scans, gt)
-    # the trained network must clearly beat the untrained one on per-frame
-    # relative pose error (the untrained net predicts ~zero motion, so its
-    # ATE ≈ the 1 m/frame travel)
-    assert ate1 < 0.6 * ate0, (ate1, ate0)
-    assert np.isfinite(pred).all()
+    ates, travels = [], []
+    for scans, gt in heldout:
+        ate, pred = _odometry_ate(variables, scans, gt)
+        assert np.isfinite(pred).all()
+        ates.append(ate)
+        travels.append(
+            float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).mean())
+        )
+    mean_ate, travel = float(np.mean(ates)), float(np.mean(travels))
+    # ABSOLUTE anchor: relative-pose RMSE < 0.5× per-frame travel
+    assert mean_ate < 0.5 * travel, (ates, travel)
+    # secondary: clearly beats the untrained net (whose ATE ≈ the travel)
+    ate0, _ = _odometry_ate(variables0, *heldout[0])
+    assert ates[0] < 0.6 * ate0, (ates[0], ate0)
 
 
 @pytest.mark.slow
@@ -166,4 +184,7 @@ def test_trained_posenet_beats_untrained_on_heldout_world():
 
     ate0 = run(variables0)
     ate1 = run({"params": state.params, "batch_stats": state.batch_stats})
+    travel = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).mean())
+    # ABSOLUTE anchor: 0.3× per-frame travel (measured 0.10×)
+    assert ate1 < 0.3 * travel, (ate1, travel)
     assert ate1 < 0.6 * ate0, (ate1, ate0)
