@@ -52,8 +52,8 @@ class CostVolume(nn.Module):
 
         # ---- first (cross-frame) attentive aggregate
         _, idx_q = ops.knn(xyz1, xyz2, self.nsample_q, approx=self.approx_knn)
-        q_xyz = ops.group_points(xyz2, idx_q)  # (B, S, Kq, 3)
-        q_feat = ops.group_points(feat2, idx_q)  # (B, S, Kq, C2)
+        # one fused gather for xyz+features (per-row-cost op; see gather.py)
+        q_xyz, q_feat = ops.group_points_multi(idx_q, xyz2, feat2)
 
         if use_fused:
             from pwclonet_pylidarslam_tpu.ops.pallas.costvolume_kernel import (
@@ -93,8 +93,7 @@ class CostVolume(nn.Module):
 
         # ---- second (self) attentive aggregate
         _, idx_s = ops.knn(xyz1, xyz1, self.nsample, approx=self.approx_knn)
-        s_xyz = ops.group_points(xyz1, idx_s)  # (B, S, Ks, 3)
-        s_emb = ops.group_points(first, idx_s)  # (B, S, Ks, mlp1[-1])
+        s_xyz, s_emb = ops.group_points_multi(idx_s, xyz1, first)
 
         if use_fused:
             enc2_wb = m_enc2(d_enc, train=False, fold_only=True)

@@ -48,13 +48,15 @@ class SetConv(nn.Module):
         idx = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, idx)  # (B, npoint, 3)
         _, nn_idx = ops.knn(new_xyz, xyz, self.nsample, approx=self.approx_knn)
-        grouped_xyz = ops.group_points(xyz, nn_idx)  # (B, npoint, K, 3)
-        xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
         if features is not None:
-            grouped_feat = ops.group_points(features, nn_idx)
+            # ONE gather for xyz+features (per-row-cost op; see gather.py)
+            grouped_xyz, grouped_feat = ops.group_points_multi(nn_idx, xyz, features)
+            xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
             x = jnp.concatenate([xyz_diff, grouped_feat], axis=-1)
         else:
             # first level: concat raw grouped xyz (ref pointnet2_modules.py:234)
+            grouped_xyz = ops.group_points(xyz, nn_idx)
+            xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
             x = jnp.concatenate([xyz_diff, grouped_xyz], axis=-1)
         x = PointMLP(tuple(self.mlp), dtype=self.dtype)(
             x, train=train, bn_momentum=bn_momentum, maxpool=True, fused=self.fused_eval
@@ -83,8 +85,9 @@ class SetUpConv(nn.Module):
     @nn.compact
     def __call__(self, fine_xyz, coarse_xyz, fine_feat, coarse_feat, train: bool, bn_momentum=0.1):
         _, nn_idx = ops.knn(fine_xyz, coarse_xyz, self.nsample, approx=self.approx_knn)
-        grouped_feat = ops.group_points(coarse_feat, nn_idx)  # (B, Nf, K, Cc)
-        grouped_xyz = ops.group_points(coarse_xyz, nn_idx)
+        grouped_feat, grouped_xyz = ops.group_points_multi(
+            nn_idx, coarse_feat, coarse_xyz
+        )  # one gather (per-row-cost op; see gather.py)
         xyz_diff = grouped_xyz - fine_xyz[:, :, None, :]
         x = jnp.concatenate([grouped_feat, xyz_diff], axis=-1)
         x = PointMLP(tuple(self.mlp), dtype=self.dtype)(
@@ -101,13 +104,13 @@ def _ball_group(xyz, new_xyz, features, radius: float, nsample: int, use_xyz: bo
     ball-query ``nsample`` neighbors of each center, center the grouped xyz,
     concat features. → ``(B, M, nsample, 3·use_xyz + C)``."""
     idx = ops.ball_query(new_xyz, xyz, radius, nsample)
-    grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:
-        grouped_feat = ops.group_points(features, idx)
+        grouped_xyz, grouped_feat = ops.group_points_multi(idx, xyz, features)
+        grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
         if use_xyz:
             return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
         return grouped_feat
-    return grouped_xyz
+    return ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
 
 
 class SetConvMSG(nn.Module):

@@ -9,6 +9,10 @@ optional validity masks instead of the reference's implicit
 
 from pwclonet_pylidarslam_tpu.ops.knn import knn, pairwise_sqdist  # noqa: F401
 from pwclonet_pylidarslam_tpu.ops.fps import furthest_point_sample  # noqa: F401
-from pwclonet_pylidarslam_tpu.ops.gather import gather_points, group_points  # noqa: F401
+from pwclonet_pylidarslam_tpu.ops.gather import (  # noqa: F401
+    gather_points,
+    group_points,
+    group_points_multi,
+)
 from pwclonet_pylidarslam_tpu.ops.interpolate import three_nn, three_interpolate  # noqa: F401
 from pwclonet_pylidarslam_tpu.ops.ball_query import ball_query  # noqa: F401
