@@ -74,8 +74,26 @@ def knn(
         )
 
     if approx:
-        # TPU-native approximate top-k (lax.approx_min_k lowers to the
-        # PartialReduce op — ~free next to the distance matmul, ≥98% recall;
+        if (
+            query_mask is None
+            and ref_mask is None
+            and jax.devices()[0].platform in ("tpu", "axon")
+        ):
+            from pwclonet_pylidarslam_tpu.ops.pallas.knn_kernel import (
+                knn_approx_pallas,
+                knn_supported,
+            )
+
+            # the kernel wins only where the sort is expensive (measured:
+            # 9.7→5.2 ms at (2048q,8192ref,k=32), 4.5→2.3 ms at L2; small
+            # k/N shapes are faster on the stock path)
+            if k >= 16 and n >= 2048 and knn_supported(s, n, k, query.shape[-1]):
+                # fused Pallas kernel: distance tile + bucketed top-k in
+                # VMEM. The axon backend lowers approx_min_k to full SORTs
+                # of the (B,S,N) tensor (~35 ms of a 209 ms train step,
+                # round-4 trace); the kernel replaces them outright.
+                return knn_approx_pallas(query, ref, k)
+        # TPU-native approximate top-k (lax.approx_min_k — PartialReduce;
         # the model layers opt in, exact consumers keep the default)
         dist = pairwise_sqdist(query, ref)
         if ref_mask is not None:
