@@ -101,6 +101,8 @@ def write_run_gallery(
  table {{ border-collapse: collapse; }} td, th {{ border: 1px solid #999; padding: 2px 8px; }}
 </style></head><body>
 <h1>{html.escape(name)}</h1>
+<p><a href="player.html" style="color:#06c">&#9654; interactive player</a>
+(frame-by-frame playback, world-frame map overlay, drag-rotate 3D view)</p>
 {metric_html}
 <h2>Trajectory</h2>
 <div class="row"><img src="path_2d.png"><img src="path_3d.png"></div>

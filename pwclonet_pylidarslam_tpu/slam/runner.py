@@ -160,12 +160,18 @@ class SLAMRunner:
                 def __getitem__(self, i):
                     return np.asarray(source.scan(i))[:, :3]
 
+            gallery_dir = os.path.join(self.config.log_dir, f"{name}_gallery")
             write_run_gallery(
-                os.path.join(self.config.log_dir, f"{name}_gallery"),
+                gallery_dir,
                 name,
                 _LazyScans(),
                 predicted,
                 gt,
                 metrics=md,
             )
+            from pwclonet_pylidarslam_tpu.evaluation.player import (
+                write_run_player,
+            )
+
+            write_run_player(gallery_dir, name, _LazyScans(), predicted, gt)
         return md

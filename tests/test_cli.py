@@ -104,6 +104,17 @@ def test_run_slam_gallery(tmp_path):
     vm_imgs = list(gal.glob("frame_*_vm.png"))
     bev_imgs = list(gal.glob("frame_*_bev.png"))
     assert len(vm_imgs) == 8 and len(bev_imgs) == 8
+    # interactive player: self-contained (no external JS), one embedded
+    # int16 cloud per frame, linked from the gallery index
+    player = (gal / "player.html").read_text()
+    assert "player.html" in page
+    assert "<canvas" in player and "drag" in player
+    assert '"frames":' in player and player.count("worldPts") >= 2
+    assert "http" not in player.split("<script>")[1]  # no CDN/network deps
+    import json as _json
+
+    data = _json.loads(player.split("const D = ", 1)[1].split(";\nconst T")[0])
+    assert len(data["frames"]) == 8 and len(data["poses"]) == 8
 
 
 @pytest.mark.slow
