@@ -60,7 +60,7 @@ def gather_rows(src: jax.Array, idx: jax.Array) -> jax.Array:
     return _gather_fwd_impl(src, idx)
 
 
-def _gather_fwd_impl(src, idx):
+def _gather_fwd_impl(src, idx, interpret=False):
     b, n, c = src.shape
     m = idx.shape[1]
     tile = _pick_tile(m)
@@ -83,6 +83,7 @@ def _gather_fwd_impl(src, idx):
             (1, tile, c), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m, c), src.dtype),
+        interpret=interpret,
     )(idx4, src)
 
 
@@ -99,7 +100,9 @@ def _scatter_add_kernel(idx_ref, upd_ref, out_ref):
             out_ref[0, j, :] = out_ref[0, j, :] + upd_ref[0, a * sub + p, :]
 
 
-def scatter_add_rows(updates: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+def scatter_add_rows(
+    updates: jax.Array, idx: jax.Array, n: int, interpret: bool = False
+) -> jax.Array:
     """``Σ_m updates[b, m] → out[b, idx[b, m]]`` — ``(B, M, C)`` → ``(B, N, C)``."""
     b, m, c = updates.shape
     tile = _pick_tile(m)
@@ -125,6 +128,7 @@ def scatter_add_rows(updates: jax.Array, idx: jax.Array, n: int) -> jax.Array:
             (1, n, c), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), updates.dtype),
+        interpret=interpret,
     )(idx4, updates)
 
 

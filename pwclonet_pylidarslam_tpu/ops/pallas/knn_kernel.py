@@ -99,9 +99,9 @@ def knn_supported(s: int, n: int, k: int, c: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_approx_pallas(
-    query: jax.Array, ref: jax.Array, k: int
+    query: jax.Array, ref: jax.Array, k: int, interpret: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate kNN of ``query (B,S,C)`` in ``ref (B,N,C)`` →
     ``(sqdists (B,S,k), idx (B,S,k))`` ascending. Call only when
@@ -127,5 +127,6 @@ def knn_approx_pallas(
             jax.ShapeDtypeStruct((b, s, k), jnp.float32),
             jax.ShapeDtypeStruct((b, s, k), jnp.int32),
         ),
+        interpret=interpret,
     )(query.astype(jnp.float32), ref_t.astype(jnp.float32))
     return dists, idx

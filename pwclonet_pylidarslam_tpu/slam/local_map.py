@@ -209,16 +209,19 @@ def scatter_buckets(
     keep = jnp.logical_and(slot < bucket_cap, h_sorted < rows)
     dest = h_sorted * bucket_cap + jnp.clip(slot, 0, bucket_cap - 1)
     dest = jnp.where(keep, dest, rows * bucket_cap)  # dropped → spill row
-    flat = jnp.full((rows * bucket_cap + 1,), m, jnp.int32)
-    flat = flat.at[dest].set(order.astype(jnp.int32), mode="drop")
-    idx_grid = flat[:-1]
-    sentinel = jnp.full((1, 3), 1e9, points.dtype)
-    zero = jnp.zeros((1, 3), normals.dtype)
-    points_pad = jnp.concatenate([points, sentinel])
-    normals_pad = jnp.concatenate([normals, zero])
+    # scatter the VALUES directly (M rows) instead of scattering indices and
+    # gathering rows·cap rows back: at cap 64 the old index-gather touched
+    # 2×1M rows per build at XLA's ~12 ns/row — the dominant cost of the
+    # voxel mode's 34.5 ms/frame (round-4 measurement)
+    pts_sorted = points[order]
+    nrm_sorted = normals[order]
+    table_pts = jnp.full((rows * bucket_cap + 1, 3), 1e9, points.dtype)
+    table_nrm = jnp.zeros((rows * bucket_cap + 1, 3), normals.dtype)
+    table_pts = table_pts.at[dest].set(pts_sorted, mode="drop")
+    table_nrm = table_nrm.at[dest].set(nrm_sorted, mode="drop")
     return VoxelTable(
-        points=points_pad[idx_grid].reshape(rows, bucket_cap, 3),
-        normals=normals_pad[idx_grid].reshape(rows, bucket_cap, 3),
+        points=table_pts[:-1].reshape(rows, bucket_cap, 3),
+        normals=table_nrm[:-1].reshape(rows, bucket_cap, 3),
     )
 
 

@@ -1,5 +1,6 @@
 """Golden tests: Pallas kernels (interpret mode) vs the lax oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -169,3 +170,102 @@ class TestPallasCostVolume:
             ref = base.apply(vs, *args, train=False)
             out = fused.apply(vs, *args, train=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+class TestGatherKernel:
+    """Golden tests: Pallas row gather / scatter-add vs jnp oracles
+    (interpret mode; on TPU the same kernels were verified bit-exact
+    on-chip, tools/bench_gather.py)."""
+
+    def test_gather_rows_matches_take_along_axis(self):
+        from pwclonet_pylidarslam_tpu.ops.pallas.gather_kernel import (
+            _gather_fwd_impl,
+        )
+
+        rng = np.random.default_rng(0)
+        for b, n, m, c in [(2, 256, 512, 3), (1, 128, 256, 16)]:
+            src = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+            idx = jnp.asarray(rng.integers(0, n, size=(b, m)), jnp.int32)
+            got = np.asarray(_gather_fwd_impl(src, idx, interpret=True))
+            want = np.asarray(jnp.take_along_axis(src, idx[..., None], axis=1))
+            np.testing.assert_array_equal(got, want)
+
+    def test_scatter_add_matches_at_add(self):
+        from pwclonet_pylidarslam_tpu.ops.pallas.gather_kernel import (
+            scatter_add_rows,
+        )
+
+        rng = np.random.default_rng(1)
+        b, n, m, c = 2, 128, 256, 5
+        upd = jnp.asarray(rng.normal(size=(b, m, c)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, size=(b, m)), jnp.int32)
+        got = np.asarray(scatter_add_rows(upd, idx, n, interpret=True))
+        want = np.asarray(
+            jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(upd)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_gather_custom_vjp_grad_is_scatter(self):
+        """d/dsrc sum(gather(src, idx)**2) == scatter_add(2*gathered)."""
+        from pwclonet_pylidarslam_tpu.ops.gather import gather_points
+
+        rng = np.random.default_rng(2)
+        b, n, m, c = 2, 64, 128, 4
+        src = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, size=(b, m)), jnp.int32)
+        g = jax.grad(lambda p: jnp.sum(gather_points(p, idx) ** 2))(src)
+        want = np.asarray(
+            jnp.zeros((b, n, c)).at[jnp.arange(b)[:, None], idx].add(
+                2.0 * jnp.take_along_axis(src, idx[..., None], axis=1)
+            )
+        )
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+
+class TestKnnKernel:
+    """Golden tests: fused kNN kernel vs the exact oracle."""
+
+    def test_exact_when_refs_fit_one_bucket_block(self):
+        # N <= 512 -> bucket size 1 -> exact result, ascending, unique
+        from pwclonet_pylidarslam_tpu.ops.pallas.knn_kernel import (
+            knn_approx_pallas,
+            knn_supported,
+        )
+        from pwclonet_pylidarslam_tpu.ops.knn import pairwise_sqdist
+
+        rng = np.random.default_rng(3)
+        b, s, n, k = 1, 64, 256, 8
+        assert knn_supported(s, n, k, 3)
+        q = jnp.asarray(rng.normal(size=(b, s, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        d, i = knn_approx_pallas(q, r, k, interpret=True)
+        dist = np.asarray(pairwise_sqdist(q, r))
+        i_true = np.sort(np.argsort(dist, axis=-1)[..., :k], axis=-1)
+        np.testing.assert_array_equal(np.sort(np.asarray(i), axis=-1), i_true)
+        np.testing.assert_allclose(
+            np.asarray(d), np.sort(np.take_along_axis(dist, i_true, -1), -1),
+            atol=1e-4,
+        )
+
+    def test_recall_on_bucketed_path(self):
+        from pwclonet_pylidarslam_tpu.ops.pallas.knn_kernel import (
+            knn_approx_pallas,
+        )
+        from pwclonet_pylidarslam_tpu.ops.knn import pairwise_sqdist
+
+        rng = np.random.default_rng(4)
+        b, s, n, k = 1, 64, 1024, 16
+        q = jnp.asarray(rng.normal(size=(b, s, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        d, i = knn_approx_pallas(q, r, k, interpret=True)
+        i = np.asarray(i)
+        dist = np.asarray(pairwise_sqdist(q, r))
+        i_true = np.argsort(dist, axis=-1)[..., :k]
+        recall = np.mean(
+            [len(set(i[0, ss]) & set(i_true[0, ss])) / k for ss in range(s)]
+        )
+        assert recall > 0.9, recall
+        # reported distances must be the true distances of the indices
+        np.testing.assert_allclose(
+            np.asarray(d), np.take_along_axis(dist, i, -1), atol=1e-4
+        )
