@@ -213,6 +213,7 @@ def deep_odometry_t_rel(
     compute_dtype="bfloat16",
     n_worlds=3,
     learning_rate=1e-3,
+    warmup_steps=0,
 ):
     """Train PWCLO-Net FROM SCRATCH on different-seed synthetic worlds and
     measure the trained network's trajectory on the bench world's first 256
@@ -264,7 +265,8 @@ def deep_odometry_t_rel(
 
     model_cfg = scaled_model_config(8192, compute_dtype=compute_dtype)
     cfg = TrainConfig(
-        model=model_cfg, total_steps=total_steps, learning_rate=learning_rate
+        model=model_cfg, total_steps=total_steps, learning_rate=learning_rate,
+        warmup_steps=warmup_steps,
     )
     model, state = create_train_state(cfg, jax.random.key(0))
 

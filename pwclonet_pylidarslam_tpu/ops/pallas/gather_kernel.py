@@ -87,7 +87,10 @@ def _gather_fwd_impl(src, idx, interpret=False):
     )(idx4, src)
 
 
-def _scatter_add_kernel(idx_ref, upd_ref, out_ref):
+def _scatter_add_kernel(idx_ref, upd_ref, out_ref, *, nbanks: int):
+    # out_ref (1, nbanks, n, c): consecutive rows accumulate into different
+    # bank slabs, breaking the read-modify-write dependency chain that
+    # serializes a single-accumulator scatter (the caller sums the banks)
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
@@ -97,7 +100,8 @@ def _scatter_add_kernel(idx_ref, upd_ref, out_ref):
     for a in range(8):
         for p in range(sub):
             j = idx_ref[0, 0, a, p]
-            out_ref[0, j, :] = out_ref[0, j, :] + upd_ref[0, a * sub + p, :]
+            bank = (a * sub + p) % nbanks
+            out_ref[0, bank, j, :] = out_ref[0, bank, j, :] + upd_ref[0, a * sub + p, :]
 
 
 def scatter_add_rows(
@@ -106,15 +110,21 @@ def scatter_add_rows(
     """``Σ_m updates[b, m] → out[b, idx[b, m]]`` — ``(B, M, C)`` → ``(B, N, C)``."""
     b, m, c = updates.shape
     tile = _pick_tile(m)
-    if tile == 0 or n * max(c, 128) * updates.dtype.itemsize > 6 * 1024 * 1024:
+    slab = n * max(c, 128) * updates.dtype.itemsize
+    if tile == 0 or slab > 6 * 1024 * 1024:
         out = jnp.zeros((b, n, c), updates.dtype)
         return out.at[
             jnp.arange(b)[:, None], idx.astype(jnp.int32)
         ].add(updates)
+    nbanks = 1
+    for cand in (4, 2):
+        if cand * slab <= 6 * 1024 * 1024:
+            nbanks = cand
+            break
     grid = (b, m // tile)
     idx4 = idx.astype(jnp.int32).reshape(b, m // tile, 8, tile // 8)
-    return pl.pallas_call(
-        _scatter_add_kernel,
+    banked = pl.pallas_call(
+        functools.partial(_scatter_add_kernel, nbanks=nbanks),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -125,11 +135,12 @@ def scatter_add_rows(
             pl.BlockSpec((1, tile, c), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, c), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM
+            (1, nbanks, n, c), lambda bb, tt: (bb, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), updates.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nbanks, n, c), updates.dtype),
         interpret=interpret,
     )(idx4, updates)
+    return jnp.sum(banked, axis=1) if nbanks > 1 else banked[:, 0]
 
 
 def _gather_vjp_fwd(src, idx):

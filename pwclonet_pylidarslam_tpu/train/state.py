@@ -36,6 +36,10 @@ class TrainConfig:
     learning_rate: float = 1e-3
     lr_min: float = 1e-6
     total_steps: int = 100_000  # for the cosine schedule
+    # linear warmup to learning_rate over this many steps (0 = plain cosine,
+    # the reference recipe). Short-horizon runs (the bench's in-budget
+    # training leg) use a warmup so a higher peak LR stays stable.
+    warmup_steps: int = 0
     weight_decay: float = 0.0
     bn_momentum_init: float = 0.5
     bn_momentum_decay: float = 0.5
@@ -52,10 +56,19 @@ class TrainState(NamedTuple):
 
 
 def make_schedules(config: TrainConfig):
-    lr = optax.cosine_decay_schedule(
-        config.learning_rate, config.total_steps,
-        alpha=config.lr_min / config.learning_rate,
-    )
+    if config.warmup_steps > 0:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=config.learning_rate * 0.01,
+            peak_value=config.learning_rate,
+            warmup_steps=config.warmup_steps,
+            decay_steps=config.total_steps,
+            end_value=config.lr_min,
+        )
+    else:
+        lr = optax.cosine_decay_schedule(
+            config.learning_rate, config.total_steps,
+            alpha=config.lr_min / config.learning_rate,
+        )
 
     def bn_momentum(step):
         m = config.bn_momentum_init * (
