@@ -94,7 +94,7 @@ _TEMPLATE = """<!doctype html>
  <input type="range" id="seek" min="0" value="0">
  <span id="frameno"></span>
  <label><input type="checkbox" id="acc" checked> accumulate</label>
- <label>speed <select id="speed"><option>1</option><option>2</option selected><option>4</option><option>8</option></select></label>
+ <label>speed <select id="speed"><option value="1">1</option><option value="2" selected>2</option><option value="4">4</option><option value="8">8</option></select></label>
 </div>
 <div class="views">
  <div><div>top-down (world frame)</div><canvas id="map" width="640" height="640"></canvas></div>

@@ -54,9 +54,12 @@ def group_points_multi(idx: jax.Array, *tensors: jax.Array) -> tuple:
     separately, ``pointnet2_modules.py:210-243``). Returns per-tensor views.
     """
     widths = [t.shape[-1] for t in tensors]
+    # Concatenation promotes mixed dtypes (e.g. f32 xyz + bf16 features) to
+    # the widest; cast each output slice back to its source dtype so the
+    # fused path matches per-tensor group_points exactly (ADVICE r4).
     grouped = group_points(jnp.concatenate(tensors, axis=-1), idx)
     outs, off = [], 0
-    for w in widths:
-        outs.append(grouped[..., off : off + w])
+    for w, t in zip(widths, tensors):
+        outs.append(grouped[..., off : off + w].astype(t.dtype))
         off += w
     return tuple(outs)

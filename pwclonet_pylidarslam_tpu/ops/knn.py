@@ -59,6 +59,15 @@ def knn(
     unless a query has fewer than ``k`` valid refs, in which case the
     remaining slots repeat the nearest valid hit (mirrors the reference ball
     query padding convention). Masked-out queries return index 0/dist 0.
+
+    Approximate-path contract (ADVICE r4): ``approx=True`` trades recall for
+    speed and the *algorithm is shape-dependent*. Unmasked TPU shapes with
+    ``k >= 16 and N >= 2048`` dispatch to the fused Pallas bucket-min kernel
+    (recall ~0.94-0.98 at k=32, exact for N <= 512); every other approx
+    shape uses ``lax.approx_min_k`` (recall ~0.98, exact on CPU). Identical
+    calls can therefore return different neighbor *quality* on different
+    backends/shapes. Callers that need one pinned algorithm should pass
+    ``approx=False`` (exact everywhere, slower on large N).
     """
     b, s, _ = query.shape
     n = ref.shape[1]

@@ -70,3 +70,44 @@ class DriftingICPOdometry(ICPOdometry):
             map=state.map._replace(poses=cj[None] @ state.map.poses),
         )
         return np.asarray(self.state.pose, np.float64)
+
+
+def run_drift_scenario(with_backend: bool, n_frames: int = 80, seed: int = 5):
+    """The canonical drift-injection closed-loop scenario, shared by
+    ``tests/test_pipeline.py::test_loop_backend_reduces_drift`` and the
+    ``loop_backend_ate_gain`` bench extra: a there-and-back world, biased
+    odometry, loop closure on; the backend toggles. Returns ``(slam,
+    per-frame translation error vs ground truth)``."""
+    from pwclonet_pylidarslam_tpu.core.registration import BEVConfig
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+    from pwclonet_pylidarslam_tpu.slam.loop_closure import LoopClosureConfig
+    from pwclonet_pylidarslam_tpu.slam.pipeline import SLAM, SLAMConfig
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(
+            n_frames=n_frames, trajectory="there_and_back", speed=1.6, seed=seed,
+            num_points=2048,
+        )
+    )
+    lc_cfg = LoopClosureConfig(
+        submap_size=6, overlap=2, min_id_distance=20, max_distance=30.0,
+        points_per_frame=1024, submap_points=4096,
+        bev=BEVConfig(pixel_size=0.5, image_size=192),
+        min_confidence=1.2, max_icp_rmse=1.0,
+    )
+    cfg = SLAMConfig(
+        odometry=ICPConfig(num_points=2048, initial_assoc_distance=8.0),
+        with_loop_closure=True, loop_closure=lc_cfg,
+        with_backend=with_backend,
+        backend_max_nodes=128, backend_max_edges=256,
+    )
+    slam = SLAM(cfg, odometry=DriftingICPOdometry(cfg.odometry, yaw_bias()))
+    slam.init()
+    for s in scans:
+        slam.process_next_frame(s)
+    pred = slam.absolute_poses()
+    err = np.linalg.norm(pred[:, :3, 3] - gt[: len(pred), :3, 3], axis=1)
+    return slam, err

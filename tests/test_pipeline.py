@@ -160,41 +160,10 @@ def test_loop_backend_reduces_drift():
     lower than the backend-less run's AND small in absolute terms — a
     deliberately disabled backend fails the absolute gate by an order of
     magnitude (measured: 5.2 m vs 0.14 m final-10-frame mean error)."""
-    from pwclonet_pylidarslam_tpu.slam.drift_injection import (
-        DriftingICPOdometry,
-        yaw_bias,
-    )
+    from pwclonet_pylidarslam_tpu.slam.drift_injection import run_drift_scenario
 
-    scans, gt = generate_sequence(
-        SyntheticSequenceConfig(
-            n_frames=80, trajectory="there_and_back", speed=1.6, seed=5,
-            num_points=2048,
-        )
-    )
-    lc_cfg = LoopClosureConfig(
-        submap_size=6, overlap=2, min_id_distance=20, max_distance=30.0,
-        points_per_frame=1024, submap_points=4096,
-        bev=BEVConfig(pixel_size=0.5, image_size=192),
-        min_confidence=1.2, max_icp_rmse=1.0,
-    )
-
-    def run(with_backend):
-        cfg = SLAMConfig(
-            odometry=ICPConfig(num_points=2048, initial_assoc_distance=8.0),
-            with_loop_closure=True, loop_closure=lc_cfg,
-            with_backend=with_backend,
-            backend_max_nodes=128, backend_max_edges=256,
-        )
-        slam = SLAM(cfg, odometry=DriftingICPOdometry(cfg.odometry, yaw_bias()))
-        slam.init()
-        for s in scans:
-            slam.process_next_frame(s)
-        pred = slam.absolute_poses()
-        err = np.linalg.norm(pred[:, :3, 3] - gt[: len(pred), :3, 3], axis=1)
-        return slam, err
-
-    slam_off, err_off = run(with_backend=False)
-    slam_on, err_on = run(with_backend=True)
+    slam_off, err_off = run_drift_scenario(with_backend=False)
+    slam_on, err_on = run_drift_scenario(with_backend=True)
     # (a) the detector actually fired — on the OPTIMIZED run
     assert len(slam_on.loop_closure.constraints) >= 1
     final_off = float(err_off[-10:].mean())

@@ -1,4 +1,11 @@
-"""Capture a jax.profiler trace of the train step and print per-op totals."""
+"""Capture a jax.profiler trace of the train step and print per-op totals.
+
+With ``--out docs/step_profile.json`` the per-op breakdown is written as a
+captured artifact (VERDICT r4 item 4): top device ops of one train step with
+ms and %, plus the step total — so "the step is gather-bound" is auditable
+as numbers rather than commit-message prose, and the remaining headroom
+(step time minus accounted op time) is a number.
+"""
 
 from __future__ import annotations
 
@@ -22,9 +29,17 @@ from pwclonet_pylidarslam_tpu.train.state import (
 
 
 def main():
-    bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--out":
+            out_path = sys.argv[i + 1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    bsz = int(args[0]) if args else 32
+    dtype = args[1] if len(args) > 1 else "float32"
     n, k_steps = 8192, 4
-    cfg = TrainConfig(model=scaled_model_config(n))
+    cfg = TrainConfig(model=scaled_model_config(n, compute_dtype=dtype))
     model, state = create_train_state(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)
     block = {
@@ -69,6 +84,25 @@ def main():
     print(f"total device op time: {grand/1000.0:.1f} ms")
     for name, dur in totals.most_common(40):
         print(f"{dur/1000.0:10.2f} ms  x{counts[name]:4d}  {name[:100]}")
+
+    if out_path:
+        per_step = grand / 1000.0 / k_steps
+        artifact = {
+            "config": {"batch": bsz, "k_steps": k_steps, "num_points": n,
+                       "compute_dtype": dtype},
+            "total_device_ms_per_step": round(per_step, 3),
+            "note": "durations are device-lane op totals from jax.profiler "
+                    "over one K-step dispatch, divided by K; '%' is of the "
+                    "accounted total",
+            "ops": [
+                {"op": name, "ms_per_step": round(dur / 1000.0 / k_steps, 3),
+                 "pct": round(100.0 * dur / grand, 1), "count": counts[name]}
+                for name, dur in totals.most_common(30)
+            ],
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
