@@ -163,6 +163,21 @@ class ICPConfig:
     # re-gathering; early large-correction iterations refresh automatically,
     # the converged tail (sub-centimeter steps) never does.
     voxel_cache_margin: float = 0.25
+    # rebuild the voxel table every R frames instead of every frame (1 =
+    # per-frame rebuild, the reference's per-update kdtree cadence). The
+    # table is cached in the frame it was built in (like the projective
+    # model map's lazy rebuild) and queries warp through
+    # ``table_pose⁻¹ · predicted``, so geometry stays exact; the only
+    # staleness is that the newest (R-1) keyframes are missing from the
+    # association set — on top of the already-excluded latest keyframe
+    # (voxel_skip_latest_keyframe). The per-frame build (flatten + grid
+    # sample + sort + scatter of ~82k map points) amortizes R-fold.
+    voxel_rebuild_every: int = 1
+    # fuse the grid-sample dedup into the table-build sort (ONE ~M-element
+    # device sort per rebuild instead of two; local_map.build_voxel_table_fused).
+    # Dedup becomes per (bucket, subcell) instead of per global subcell —
+    # strictly more coverage for straddling subcells, same drop discipline.
+    voxel_fused_build: bool = False
     # re-associate correspondences every k GN iterations (1 = every
     # iteration). The voxel NN's 27-bucket candidate gather dominates its
     # device time; holding correspondences fixed for a few Newton steps
@@ -204,8 +219,12 @@ class OdometryState(NamedTuple):
     frame_idx: jax.Array  # () int32
     prev_scan: jax.Array  # (N, 3) previous raw scan (BEV bootstrap source)
     model: jax.Array  # (H, W, 6) cached aggregated model map
-    model_pose: jax.Array  # (4, 4) frame the cached model was built in
-    model_valid: jax.Array  # () float 0/1 — cache holds a real model
+    model_pose: jax.Array  # (4, 4) frame the cached model/table was built in
+    model_valid: jax.Array  # () float 0/1 — cache holds a real model/table
+    # cached voxel table (voxel mode with voxel_rebuild_every > 1; zero-size
+    # otherwise) — the lazy-rebuild equivalent of ``model`` for bucket NN
+    vox_pts: jax.Array  # (table_size, bucket_cap, 3) or (0, 0, 3)
+    vox_nrm: jax.Array  # (table_size, bucket_cap, 3) or (0, 0, 3)
 
 
 class FrameResult(NamedTuple):
@@ -231,7 +250,17 @@ def init_state(config: ICPConfig, dtype=jnp.float32) -> OdometryState:
         ),
         model_pose=jnp.eye(4, dtype=dtype),
         model_valid=jnp.zeros((), dtype),
+        vox_pts=jnp.full(_vox_cache_shape(config), 1e9, dtype),
+        vox_nrm=jnp.zeros(_vox_cache_shape(config), dtype),
     )
+
+
+def _vox_cache_shape(config: ICPConfig) -> Tuple[int, int, int]:
+    """Shape of the cached voxel table — zero-size unless the lazy voxel
+    rebuild is on (the cache costs ~25 MB of donated state otherwise)."""
+    if config.association == "voxel" and config.voxel_rebuild_every > 1:
+        return (config.voxel_table_size, config.voxel_bucket_cap, 3)
+    return (0, 0, 3)
 
 
 def _register(
@@ -429,31 +458,67 @@ def process_frame(
 
     empty_map = jnp.sum(state.map.valid) == 0
     if config.association == "voxel":
-        # KdTree-equivalent: voxel-hash bucket NN over the keyframe store,
-        # rebuilt in the predicted frame every frame (like the reference's
-        # per-update kdtree rebuild, local_map.py:365-369, but one sort +
-        # one unique scatter on device instead of a CPU tree build)
-        flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
-        if config.voxel_skip_latest_keyframe:
-            k, p = state.map.points.shape[:2]
-            latest = (state.map.next_slot - 1) % k
-            slot_ids = jnp.repeat(jnp.arange(k), p)
-            multi = jnp.sum(state.map.valid) > 1.5  # keep a 1-keyframe map usable
-            flat_ok = jnp.where(
-                jnp.logical_and(multi, slot_ids == latest), 0.0, flat_ok
-            )
-        if config.voxel_sample_size > 0:
-            from pwclonet_pylidarslam_tpu.core.pointcloud import grid_sample_mask
-
-            keep = grid_sample_mask(
-                flat_pts, config.voxel_sample_size, valid=flat_ok
-            )
-            flat_ok = flat_ok * keep.astype(flat_ok.dtype)
+        # KdTree-equivalent: voxel-hash bucket NN over the keyframe store
+        # (like the reference's per-update kdtree rebuild, local_map.py:365-369,
+        # but one sort + one unique scatter on device instead of a CPU tree
+        # build). With ``voxel_rebuild_every`` R > 1, the table is rebuilt
+        # every R frames and cached in its build frame; queries warp through
+        # ``table_pose⁻¹ · predicted`` exactly like the projective model
+        # map's lazy rebuild.
         cell = config.voxel_size * (2.0 if config.voxel_neighborhood == 8 else 1.0)
-        table = lm.build_voxel_table(
-            flat_pts, flat_nrm, flat_ok, cell,
-            config.voxel_table_size, config.voxel_bucket_cap,
-        )
+
+        def _build_table():
+            flat_pts, flat_nrm, flat_ok = lm.flatten_map_points(state.map, predicted)
+            if config.voxel_skip_latest_keyframe:
+                k, p = state.map.points.shape[:2]
+                latest = (state.map.next_slot - 1) % k
+                slot_ids = jnp.repeat(jnp.arange(k), p)
+                multi = jnp.sum(state.map.valid) > 1.5  # 1-keyframe map usable
+                flat_ok2 = jnp.where(
+                    jnp.logical_and(multi, slot_ids == latest), 0.0, flat_ok
+                )
+            else:
+                flat_ok2 = flat_ok
+            if config.voxel_fused_build and config.voxel_sample_size > 0:
+                return lm.build_voxel_table_fused(
+                    flat_pts, flat_nrm, flat_ok2, cell,
+                    config.voxel_sample_size,
+                    config.voxel_table_size, config.voxel_bucket_cap,
+                )
+            if config.voxel_sample_size > 0:
+                from pwclonet_pylidarslam_tpu.core.pointcloud import grid_sample_mask
+
+                keep = grid_sample_mask(
+                    flat_pts, config.voxel_sample_size, valid=flat_ok2
+                )
+                flat_ok2 = flat_ok2 * keep.astype(flat_ok2.dtype)
+            return lm.build_voxel_table(
+                flat_pts, flat_nrm, flat_ok2, cell,
+                config.voxel_table_size, config.voxel_bucket_cap,
+            )
+
+        if config.voxel_rebuild_every <= 1:
+            table = _build_table()
+            table_pose = predicted
+            table_valid = jnp.where(empty_map, 0.0, 1.0).astype(dtype)
+        else:
+            refresh = jnp.logical_or(
+                state.model_valid == 0,
+                state.frame_idx % config.voxel_rebuild_every == 0,
+            )
+            tp, tn, table_pose, table_valid = jax.lax.cond(
+                refresh,
+                lambda: (
+                    *_build_table(),
+                    predicted,
+                    jnp.where(empty_map, 0.0, 1.0).astype(dtype),
+                ),
+                lambda: (
+                    state.vox_pts, state.vox_nrm,
+                    state.model_pose, state.model_valid,
+                ),
+            )
+            table = lm.VoxelTable(points=tp, normals=tn)
 
         assoc_cache_fns = None
         if config.voxel_candidate_cache:
@@ -495,11 +560,18 @@ def process_frame(
                 neighborhood=config.voxel_neighborhood,
             )
 
-        model, model_pose, model_valid = state.model, predicted, state.model_valid
-        delta, num_matches, cost = _register(
-            config, assoc_fn, points, valid, assoc_cache_fns=assoc_cache_fns
+        model, model_pose, model_valid = state.model, table_pose, table_valid
+        # R<=1: the table was built in the predicted frame — exact identity
+        # seed (None), bit-identical to the per-frame-rebuild behavior
+        init_delta = (
+            None if config.voxel_rebuild_every <= 1
+            else se3.inverse(table_pose) @ predicted
         )
-        new_pose = se3.normalize(predicted @ delta)
+        delta, num_matches, cost = _register(
+            config, assoc_fn, points, valid, init_delta,
+            assoc_cache_fns=assoc_cache_fns,
+        )
+        new_pose = se3.normalize(table_pose @ delta)
     else:
         # --- model map: rebuild when the cache is stale (lazy) or always
         # (reference behavior, thresholds 0). The staleness test compares the
@@ -571,6 +643,7 @@ def process_frame(
         state.map, points[::st], pt_normals[::st], pt_ok[::st], new_pose, do_insert
     )
 
+    lazy_vox = config.association == "voxel" and config.voxel_rebuild_every > 1
     new_state = OdometryState(
         map=new_map,
         pose=new_pose,
@@ -581,6 +654,8 @@ def process_frame(
         model=model,
         model_pose=model_pose,
         model_valid=model_valid,
+        vox_pts=table.points if lazy_vox else state.vox_pts,
+        vox_nrm=table.normals if lazy_vox else state.vox_nrm,
     )
     return new_state, FrameResult(
         pose=new_pose,

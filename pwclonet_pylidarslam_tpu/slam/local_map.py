@@ -225,6 +225,65 @@ def scatter_buckets(
     )
 
 
+def build_voxel_table_fused(
+    points: jax.Array,
+    normals: jax.Array,
+    valid: jax.Array,
+    voxel_size: float,
+    sample_size: float,
+    table_size: int = 1 << 16,
+    bucket_cap: int = 8,
+) -> VoxelTable:
+    """One-sort build: bucket by spatial hash AND grid-sample (one point per
+    ``sample_size`` sub-cell) in a single argsort over a composite
+    ``(bucket_row, subcell)`` key.
+
+    The separate path (``grid_sample_mask`` then ``build_voxel_table``) costs
+    TWO ~M-element device sorts per build — the dominant cost of a per-frame
+    table rebuild (VERDICT r4 item 3 apportionment). Fusing them keeps one.
+    Semantics vs the pair: dedup is per ``(bucket, subcell)`` instead of per
+    global subcell, so a subcell straddling a bucket boundary keeps one point
+    on each side (strictly more map coverage); overflow beyond ``bucket_cap``
+    drops the highest-index deduped points, matching ``grid_sample_mask``'s
+    lowest-index-wins convention. Golden-tested against a numpy oracle.
+    """
+    assert table_size & (table_size - 1) == 0, "table_size must be a power of 2"
+    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
+
+    m = points.shape[0]
+    vox = jnp.floor(points / voxel_size).astype(jnp.int32)
+    row = (voxel_hash(vox) & (table_size - 1)).astype(jnp.int64)
+    sub = voxel_hash(jnp.floor(points / sample_size).astype(jnp.int32))
+    key = (row << 32) | sub.astype(jnp.uint32).astype(jnp.int64)
+    key = jnp.where(valid > 0, key, jnp.iinfo(jnp.int64).max)
+    order = jnp.argsort(key)
+    key_sorted = key[order]
+    ok_sorted = key_sorted != jnp.iinfo(jnp.int64).max
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+    )
+    first_keep = jnp.logical_and(new_group, ok_sorted)  # dedup winners
+    row_sorted = (key_sorted >> 32).astype(jnp.int32)  # sentinel -> 2^31-1
+    first_of_row = jnp.searchsorted(row_sorted, row_sorted, side="left")
+    kept_before = jnp.cumsum(first_keep.astype(jnp.int32)) - first_keep.astype(
+        jnp.int32
+    )  # exclusive prefix count of winners
+    slot = kept_before - kept_before[first_of_row]
+    keep = jnp.logical_and(first_keep, slot < bucket_cap)
+    dest = row_sorted * bucket_cap + jnp.clip(slot, 0, bucket_cap - 1)
+    dest = jnp.where(keep, dest, table_size * bucket_cap)  # dropped → spill row
+    pts_sorted = points[order]
+    nrm_sorted = normals[order]
+    table_pts = jnp.full((table_size * bucket_cap + 1, 3), 1e9, points.dtype)
+    table_nrm = jnp.zeros((table_size * bucket_cap + 1, 3), normals.dtype)
+    table_pts = table_pts.at[dest].set(pts_sorted, mode="drop")
+    table_nrm = table_nrm.at[dest].set(nrm_sorted, mode="drop")
+    return VoxelTable(
+        points=table_pts[:-1].reshape(table_size, bucket_cap, 3),
+        normals=table_nrm[:-1].reshape(table_size, bucket_cap, 3),
+    )
+
+
 def neighbor_bucket_hashes(
     query: jax.Array, voxel_size: float, table_size: int, neighborhood: int
 ) -> jax.Array:

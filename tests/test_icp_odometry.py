@@ -424,3 +424,83 @@ def test_batched_sharded_over_mesh():
     # identical inputs -> identical trajectories on every device
     for i in range(1, 8):
         np.testing.assert_allclose(poses[i], poses[0], atol=1e-5)
+
+
+def test_fused_voxel_build_matches_oracle():
+    """``build_voxel_table_fused`` (one composite-key sort) must match a
+    numpy oracle of its documented semantics: one point per (bucket, subcell)
+    — lowest input index wins — capped at ``bucket_cap`` deduped points per
+    bucket in subcell-key order."""
+    from pwclonet_pylidarslam_tpu.core.pointcloud import voxel_hash
+
+    rng = np.random.default_rng(3)
+    m, table_size, cap = 4000, 1 << 10, 4
+    pts = rng.uniform(-20, 20, (m, 3)).astype(np.float32)
+    nrm = rng.normal(size=(m, 3)).astype(np.float32)
+    ok = (rng.uniform(size=m) > 0.1).astype(np.float32)
+    voxel, sample = 3.0, 0.45
+
+    table = lm.build_voxel_table_fused(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(ok), voxel, sample,
+        table_size, cap,
+    )
+
+    row = np.asarray(
+        voxel_hash(jnp.asarray(np.floor(pts / voxel), np.int32))
+    ).astype(np.int64) & (table_size - 1)
+    sub = np.asarray(
+        voxel_hash(jnp.asarray(np.floor(pts / sample), np.int32))
+    ).astype(np.uint32)
+    # oracle: group by (row, sub); winner = lowest index; per row keep the
+    # first `cap` groups ordered by sub key
+    groups = {}
+    for i in range(m):
+        if ok[i] <= 0:
+            continue
+        key = (int(row[i]), int(sub[i]))
+        groups.setdefault(key, i)  # lowest index wins
+    buckets = {}
+    for (r, s), i in sorted(groups.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        buckets.setdefault(r, [])
+        if len(buckets[r]) < cap:
+            buckets[r].append(i)
+    got = np.asarray(table.points)
+    for r, idxs in buckets.items():
+        stored = got[r]
+        real = stored[np.linalg.norm(stored, axis=-1) < 1e8]
+        want = pts[idxs]
+        # order within the bucket is by subcell key — compare as sets
+        assert real.shape[0] == len(idxs), (r, real.shape, len(idxs))
+        d = np.linalg.norm(real[:, None] - want[None], axis=-1)
+        assert (d.min(axis=1) < 1e-5).all(), r
+    # rows with no group stay empty
+    empty_rows = set(range(table_size)) - set(buckets)
+    for r in list(empty_rows)[:50]:
+        assert (np.linalg.norm(got[r], axis=-1) > 1e8).all()
+
+
+def test_lazy_voxel_rebuild_tracks_per_frame_rebuild():
+    """``voxel_rebuild_every=4`` (lazy cached table + init_delta warp) must
+    stay within a small factor of the per-frame-rebuild trajectory — the
+    staleness is bounded by the excluded newest keyframes only."""
+    from pwclonet_pylidarslam_tpu.data.synthetic import (
+        SyntheticSequenceConfig,
+        generate_sequence,
+    )
+
+    scans, gt = generate_sequence(
+        SyntheticSequenceConfig(n_frames=24, trajectory="curve", speed=1.2, seed=7)
+    )
+    dist = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1).sum())
+
+    def run(**kw):
+        odo = ICPOdometry(
+            ICPConfig(num_points=8192, map_stride=2, association="voxel", **kw)
+        )
+        odo.init()
+        odo.process_sequence(scans)
+        pred = odo.absolute_poses()
+        return float(np.linalg.norm(pred[-1][:3, 3] - gt[-1][:3, 3])) / dist
+
+    assert run(voxel_rebuild_every=4) < 0.01
+    assert run(voxel_rebuild_every=4, voxel_fused_build=True) < 0.01
