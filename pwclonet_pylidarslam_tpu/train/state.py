@@ -195,6 +195,47 @@ def train_steps(
     return jax.lax.scan(body, state, (batch_block, rngs))
 
 
+def estimate_batch_stats(
+    model: PWCLONet,
+    state: TrainState,
+    batch_block: Dict[str, jax.Array],
+    rng: jax.Array,
+) -> TrainState:
+    """Re-estimate BN running statistics over ``batch_block`` ``(K, B, ...)``
+    with frozen weights — ONE device dispatch (``lax.scan``).
+
+    A short-horizon run never anneals its BN momentum schedule, so the
+    running stats that ``train=False`` inference uses are an EMA over the
+    last ~1/momentum batches — noisy and biased toward the final shuffled
+    (augmented) batches. This computes the true population statistics the
+    reference's 300-epoch annealed EMA converges to, directly: forward each
+    batch in train mode (no gradient), folding batch k in with momentum
+    ``1/(k+1)`` (arithmetic mean of per-batch statistics). jit with
+    ``static_argnums=0``-style closure like ``train_steps``.
+    """
+    k = jax.tree.leaves(batch_block)[0].shape[0]
+    rngs = jax.random.split(rng, k)
+
+    def body(carry, inp):
+        bs, i = carry
+        batch, step_rng = inp
+        _, mutated = model.apply(
+            {"params": state.params, "batch_stats": bs},
+            batch["xyz1"],
+            batch["xyz2"],
+            train=True,
+            bn_momentum=1.0 / (i + 1.0),
+            rngs={"dropout": step_rng},
+            mutable=["batch_stats"],
+        )
+        return (mutated["batch_stats"], i + 1.0), None
+
+    (new_bs, _), _ = jax.lax.scan(
+        body, (state.batch_stats, jnp.float32(0.0)), (batch_block, rngs)
+    )
+    return state._replace(batch_stats=new_bs)
+
+
 def eval_step(
     model: PWCLONet,
     config: TrainConfig,
