@@ -104,8 +104,12 @@ def icp_metrics(scans, gt):
     out["proj_ms"] = ms
     out["proj_t_rel"] = 100.0 * t_rel
 
+    # voxel_rebuild_every=8 (round-5, tools/bench_icp_variants.py): the lazy
+    # cached table cuts 35.4 -> 18.5 ms/frame AND measures more accurate
+    # (0.185% vs 0.225% t_rel) — the staleness excludes the newest keyframes
+    # from association, which also de-weights moving-traffic imprints
     vox_cfg = ICPConfig(num_points=8192, map_stride=2, association="voxel",
-                        bev_bootstrap=True,
+                        bev_bootstrap=True, voxel_rebuild_every=8,
                         transfer_dtype="int16", transfer_scale=0.003)
     poses, ms = run_icp(vox_cfg, scans)
     t_rel_v, _, _ = M.compute_kitti_metrics(poses, gt[: poses.shape[0]])
@@ -396,17 +400,25 @@ def main():
     scans, gt = load_kitti_profile()
     icp = icp_metrics(scans, gt)
     net = pwclonet_metrics()
-    deep_budget = float(os.environ.get("BENCH_DEEP_BUDGET_S", "420"))
-    # the documented f32 accuracy recipe (VERDICT r4 item 1) — selected by
-    # the tools/sweep_deep.py grid, captured in docs/deep_convergence.json;
-    # echoed verbatim in the JSON below so the claim is auditable
+    # Budget 700 s (was 420): the 5120-step schedule needs ~390 s of train
+    # time at the measured 211 pairs/s, but chip/tunnel throughput varied
+    # down to ~132 pairs/s across sweep runs — and a budget-truncated cosine
+    # is catastrophic (measured 11.4% t_rel at 5760/7680 steps vs 4.2% at
+    # its own 4608-step checkpoint; docs/deep_convergence.json). Headroom
+    # guarantees the schedule completes.
+    deep_budget = float(os.environ.get("BENCH_DEEP_BUDGET_S", "700"))
+    # the documented f32 accuracy recipe (VERDICT r4 item 1) — winner of the
+    # tools/sweep_deep.py grid, captured in docs/deep_convergence.json
+    # (2.35% t_rel, bit-reproducible across reruns); echoed verbatim in the
+    # JSON below so the claim is auditable
     deep_recipe = {
         "compute_dtype": "float32",
-        "learning_rate": 2e-3,
+        "learning_rate": 4e-3,
         "warmup_steps": 256,
         "total_steps": 5120,
         "bsz": 16,
         "max_frame_gap": 1,
+        "bn_decay_steps": 512,
         "n_worlds": 3,
     }
     deep_t_rel, deep_steps, _ = deep_odometry_t_rel(

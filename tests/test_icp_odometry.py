@@ -448,9 +448,10 @@ def test_fused_voxel_build_matches_oracle():
     row = np.asarray(
         voxel_hash(jnp.asarray(np.floor(pts / voxel), np.int32))
     ).astype(np.int64) & (table_size - 1)
+    sub_bits = 31 - int(table_size - 1).bit_length()
     sub = np.asarray(
         voxel_hash(jnp.asarray(np.floor(pts / sample), np.int32))
-    ).astype(np.uint32)
+    ).astype(np.uint32) & np.uint32((1 << sub_bits) - 1)
     # oracle: group by (row, sub); winner = lowest index; per row keep the
     # first `cap` groups ordered by sub key
     groups = {}

@@ -38,14 +38,19 @@ def main():
     cfg = ICPConfig(
         num_points=8192, map_stride=2, association="voxel", bev_bootstrap=True,
         transfer_dtype="int16", transfer_scale=0.003,
+        voxel_rebuild_every=8,  # the bench.py round-5 config
     )
     odo = ICPOdometry(cfg)
     odo.init()
     odo.process_sequence(scans[:64])  # compile + warm state
     trace_dir = "/tmp/voxel_trace"
     t0 = time.perf_counter()
+    # chunked in the SAME 64-frame shape as the warmup — a different chunk
+    # length is a different trace shape and the profiler captures the
+    # recompile instead of the steady state
     with jax.profiler.trace(trace_dir):
-        odo.process_sequence(scans[64 : 64 + n_frames])
+        for start in range(64, 64 + n_frames, 64):
+            odo.process_sequence(scans[start : start + 64])
         np.asarray(odo.state.pose)
     wall = time.perf_counter() - t0
     print(f"wall: {wall*1000/n_frames:.2f} ms/frame over {n_frames} frames")
@@ -63,6 +68,10 @@ def main():
                 if name.startswith("$") or name.startswith("jit_") or name in (
                     "np.asarray(jax.Array)",
                 ) or name.startswith("while") or name.startswith("PjitFunction"):
+                    continue
+                low = name.lower()  # host-lane events are not device time
+                if any(h in low for h in ("compile", "jaxpr", "shard",
+                                          "deviceput", "executereplicated")):
                     continue
                 cat = re.sub(r"[._]\d+$", "", name)
                 totals[cat] += ev.get("dur", 0)
