@@ -55,18 +55,37 @@ def main():
     fn = jax.jit(lambda s, b, r: train_steps(model, cfg, s, b, r), donate_argnums=0)
     state, _ = fn(state, block, jax.random.key(1))
     np.asarray(state.step)
+    # measured (untraced) dispatch wall: the anchor every per-op share is
+    # scaled against — the axon remote profiler's event durations are
+    # instrumentation time (~36x wall on this tunnel), so only their
+    # *relative* shares are trustworthy
+    t0 = time.perf_counter()
+    state, _ = fn(state, block, jax.random.key(2))
+    np.asarray(state.step)
+    step_ms = (time.perf_counter() - t0) * 1000.0 / k_steps
+    print(f"measured untraced step wall: {step_ms:.2f} ms/step")
     trace_dir = "/tmp/train_trace"
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)  # stale traces double-count
     with jax.profiler.trace(trace_dir):
-        state, _ = fn(state, block, jax.random.key(2))
+        state, _ = fn(state, block, jax.random.key(3))
         np.asarray(state.step)
 
     time.sleep(2)
     files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
     print("trace files:", files)
-    totals = collections.Counter()
-    counts = collections.Counter()
+    # Two independent hierarchy rows in the device trace, kept separate so
+    # nothing is double-counted:
+    #  - op rows: XLA instruction categories (fusion/copy/sort/custom calls)
+    #  - scope rows: flax named scopes (SetConv_1, CostVolume_0, ...), which
+    #    aggregate the same device time by model part
+    # Module rows (bare-number names) span the whole program and are dropped.
     import re
 
+    op_totals, op_counts = collections.Counter(), collections.Counter()
+    scope_totals, scope_counts = collections.Counter(), collections.Counter()
+    scope_re = re.compile(r"^[A-Z][A-Za-z]*_\d+$")
     for f in files:
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
@@ -77,27 +96,52 @@ def main():
                     "np.asarray(jax.Array)",
                 ) or name.startswith("while") or name.startswith("PjitFunction"):
                     continue
-                cat = re.sub(r"[._]\d+$", "", name)
-                totals[cat] += ev.get("dur", 0)
-                counts[cat] += 1
-    grand = sum(totals.values())
-    print(f"total device op time: {grand/1000.0:.1f} ms")
-    for name, dur in totals.most_common(40):
-        print(f"{dur/1000.0:10.2f} ms  x{counts[name]:4d}  {name[:100]}")
+                if name.isdigit():  # module-row span
+                    continue
+                base = re.sub(r"\.\d+$", "", name)  # strip XLA clone suffix
+                if scope_re.match(base):  # flax scope row (SetConv_1, ...)
+                    scope_totals[base] += ev.get("dur", 0)
+                    scope_counts[base] += 1
+                else:
+                    cat = re.sub(r"[._]\d+$", "", name)
+                    op_totals[cat] += ev.get("dur", 0)
+                    op_counts[cat] += 1
+    grand = sum(op_totals.values())
+    sgrand = sum(scope_totals.values())
+    acct_ms = grand / 1000.0 / k_steps
+    print(f"accounted device-op time: {acct_ms:.1f} ms/step of "
+          f"{step_ms:.1f} ms/step wall ({100*acct_ms/step_ms:.0f}%)")
+    for name, dur in op_totals.most_common(25):
+        print(f"{100.0*dur/grand:5.1f}%  {dur/1000.0/k_steps:6.2f} ms/step  "
+              f"x{op_counts[name]:5d}  {name[:80]}")
+    print("-- by model scope --")
+    for name, dur in scope_totals.most_common(15):
+        print(f"{100.0*dur/sgrand:5.1f}%  x{scope_counts[name]:5d}  {name[:80]}")
 
     if out_path:
-        per_step = grand / 1000.0 / k_steps
         artifact = {
             "config": {"batch": bsz, "k_steps": k_steps, "num_points": n,
                        "compute_dtype": dtype},
-            "total_device_ms_per_step": round(per_step, 3),
-            "note": "durations are device-lane op totals from jax.profiler "
-                    "over one K-step dispatch, divided by K; '%' is of the "
-                    "accounted total",
+            "measured_step_ms": round(step_ms, 2),
+            "pairs_per_s": round(bsz / (step_ms / 1000.0), 1),
+            "accounted_op_ms_per_step": round(acct_ms, 2),
+            "unaccounted_gap_ms_per_step": round(step_ms - acct_ms, 2),
+            "note": "ops = XLA device-op durations over one K-step dispatch "
+                    "(jax.profiler, per-step). unaccounted gap = step wall "
+                    "minus summed op time: inter-op scheduling/dispatch "
+                    "idle — the occupancy headroom. by_scope re-aggregates "
+                    "the same device time by flax named scope (model part) "
+                    "and is NOT additive with ops.",
             "ops": [
-                {"op": name, "ms_per_step": round(dur / 1000.0 / k_steps, 3),
-                 "pct": round(100.0 * dur / grand, 1), "count": counts[name]}
-                for name, dur in totals.most_common(30)
+                {"op": name, "pct": round(100.0 * dur / grand, 1),
+                 "ms_per_step": round(dur / 1000.0 / k_steps, 3),
+                 "count": op_counts[name]}
+                for name, dur in op_totals.most_common(25)
+            ],
+            "by_scope": [
+                {"scope": name, "pct": round(100.0 * dur / sgrand, 1),
+                 "count": scope_counts[name]}
+                for name, dur in scope_totals.most_common(15)
             ],
         }
         with open(out_path, "w") as f:
